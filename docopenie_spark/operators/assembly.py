@@ -1,0 +1,106 @@
+"""Turn assembly — the Spark-native replacement for the reference's
+DocSplitter + offset bookkeeping (prep/DocSplitter.scala:16-43,
+prep/KbpDoc.scala:20-24; SURVEY.md §2.1 S2).
+
+The reference splits a corpus stream into documents while tracking char
+offsets; we do the inverse: rebuild each conversation "document" from its
+ordered turns, assigning every turn its char offset into the assembled
+text. Offsets are the backbone of the whole interval algebra (SURVEY.md
+§1.4) — every downstream annotation (sentence, token, extraction, link,
+mention) is addressed by a char offset into this assembled text.
+
+Scale notes:
+- ``with_turn_offsets`` is ONE window over conv_id — the pipeline's first
+  and (for the narrow stages) only shuffle. Everything sentence-scoped
+  afterwards (segment → tokenize → extract) is a narrow mapInPandas chain.
+- ``doc_text`` materializes the full conversation string — needed only by
+  the per-conversation stages (coref, best-mention regex fallbacks). For
+  hot conversations (one conv holding ~10% of turns) a naive
+  collect_list concat puts the whole conversation into one shuffle
+  record; ``doc_text_salted`` does a two-level concat — partial concat
+  per (conv_id, turn_idx // group) then final merge — so no single
+  shuffle record exceeds ~group·avg_turn chars (SURVEY.md §4 item 1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEP = "\n"  # turn separator in the assembled document text
+
+
+def with_turn_offsets(transcripts: DataFrame) -> DataFrame:
+    """Add ``turn_offset`` (char offset of each turn in the assembled doc)
+    and ``doc_len``. Pure column ops; one shuffle on conv_id."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    wall = Window.partitionBy("conv_id")
+    piece = F.length("text") + F.lit(len(SEP)).cast("long")
+    return (
+        transcripts.withColumn(
+            "turn_offset",
+            F.coalesce(
+                F.sum(piece).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0).cast("long"),
+            ),
+        )
+        .withColumn("doc_len", F.sum(piece).over(wall) - F.lit(len(SEP)).cast("long"))
+    )
+
+
+def doc_text(transcripts: DataFrame) -> DataFrame:
+    """(conv_id, doc_text) — order-stable concat of turns.
+
+    collect_list after groupBy has no ordering guarantee, so we sort the
+    collected (turn_idx, text) structs explicitly: array_sort on structs
+    orders by the first field. Deterministic regardless of partitioning.
+    """
+    return (
+        transcripts.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("_turns"))
+        .select(
+            "conv_id",
+            F.array_join(F.transform("_turns", lambda t: t["text"]), SEP).alias("doc_text"),
+        )
+    )
+
+
+def doc_text_salted(transcripts: DataFrame, group: int = 64) -> DataFrame:
+    """Skew-safe two-level assembly: partial concat per
+    (conv_id, turn_idx // group), then ordered merge of the partials.
+    Same result as :func:`doc_text`; bounds per-record shuffle size for
+    hot conversations (the salting required by the north rule, axis B).
+    """
+    partial = (
+        transcripts.withColumn("salt", (F.col("turn_idx") / F.lit(group)).cast("int"))
+        .groupBy("conv_id", "salt")
+        .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("_turns"))
+        .select(
+            "conv_id",
+            "salt",
+            F.array_join(F.transform("_turns", lambda t: t["text"]), SEP).alias("part_text"),
+        )
+    )
+    return (
+        partial.groupBy("conv_id")
+        .agg(F.array_sort(F.collect_list(F.struct("salt", "part_text"))).alias("_parts"))
+        .select(
+            "conv_id",
+            F.array_join(F.transform("_parts", lambda p: p["part_text"]), SEP).alias("doc_text"),
+        )
+    )
+
+
+def turn_equality_violations(turns_with_offsets: DataFrame, docs: DataFrame) -> DataFrame:
+    """The per-turn text-equality invariant (BASELINE.json input_hint;
+    mirrors the reference's require(baseSent.text == compSent.text),
+    main/EvaluationPrinter.scala:128): slicing the assembled doc text at
+    each turn's offset must reproduce the turn text exactly.
+
+    Returns the violating rows — callers assert .isEmpty().
+    """
+    j = turns_with_offsets.join(docs, "conv_id")
+    sliced = F.expr("substring(doc_text, cast(turn_offset as int) + 1, length(text))")
+    return j.where(sliced != F.col("text")).select(
+        "conv_id", "turn_idx", "turn_offset", F.col("text"), sliced.alias("sliced")
+    )

@@ -1,0 +1,54 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB case and degrades gracefully to local mode:
+
+- AQE on (runtime coalescing, skew-join splitting) — the skew story for
+  hot conversations is salting (operators/assembly.py) *plus* AQE.
+- Arrow enabled + bounded batch size: every NLP stage is an Arrow UDF;
+  maxRecordsPerBatch bounds Python-worker memory per batch the same way
+  the reference bounds work with grouped(100) batches
+  (reference: prep/KbpSentenceParser.scala:73).
+- shuffle.partitions scales with parallelism; at cluster scale this is
+  set to ~2-3x total cores by the submitter, AQE coalesces down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+ARROW_BATCH = 2_000  # rows per Arrow batch handed to pandas UDFs
+
+
+def get_spark(
+    app_name: str = "docopenie-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or "local[%s]" % (
+        os.environ.get("SPARK_GRAFT_CPUS", "*")
+    )
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    b = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,58 @@
+"""Turn assembly + offset bookkeeping (SURVEY.md §2.1 S2).
+
+The per-turn text-equality invariant here is the acceptance test elevated
+by BASELINE.json from the reference's runtime require at
+main/EvaluationPrinter.scala:128.
+"""
+
+import pyspark.sql.functions as F
+
+from docopenie_spark import datagen
+from docopenie_spark.operators import assembly
+
+
+def _small(spark, n=240):
+    return datagen.transcripts_df(spark, n)
+
+
+def test_turn_offsets_are_prefix_sums(spark):
+    t = _small(spark)
+    rows = (
+        assembly.with_turn_offsets(t)
+        .where(F.col("conv_id") != "conv_hot")
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+    )
+    by_conv = {}
+    for r in rows:
+        by_conv.setdefault(r.conv_id, []).append(r)
+    for conv, turns in by_conv.items():
+        off = 0
+        for r in turns:
+            assert r.turn_offset == off, (conv, r.turn_idx)
+            off += len(r.text) + len(assembly.SEP)
+        assert turns[0].doc_len == off - len(assembly.SEP)
+
+
+def test_per_turn_text_equality_invariant(spark):
+    t = _small(spark)
+    viol = assembly.turn_equality_violations(
+        assembly.with_turn_offsets(t), assembly.doc_text(t)
+    )
+    assert viol.isEmpty()
+
+
+def test_salted_assembly_equals_plain(spark):
+    t = _small(spark, 400)
+    plain = assembly.doc_text(t)
+    salted = assembly.doc_text_salted(t, group=3)
+    assert salted.exceptAll(plain).isEmpty()
+    assert plain.exceptAll(salted).isEmpty()
+
+
+def test_hot_conversation_skew_exists(spark):
+    # datagen puts ~10% of turns in conv_hot — the skew the salting handles
+    t = _small(spark, 800)
+    counts = {r.conv_id: r["count"] for r in t.groupBy("conv_id").count().collect()}
+    total = sum(counts.values())
+    assert counts["conv_hot"] / total == 0.1
