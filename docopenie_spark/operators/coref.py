@@ -1,0 +1,133 @@
+"""Cross-turn coreference clustering (SURVEY.md §2.3 T6; reference
+tool/coref/CorefResolver.scala:13-46).
+
+The reference runs Stanford dcoref over the FULL document text — the one
+stage whose scope is inherently the whole conversation, which is why it
+is a grouped ``applyInPandas`` on conv_id here (doc-scoped logic without
+per-row Python; SURVEY.md §4 item 2).
+
+Deterministic rule set (published string-match + Hobbs-style heuristics,
+standing in for the dcoref models that live in the reference's deps):
+
+1. name clustering — mentions whose canonical keys match share a cluster:
+   PERSON key = last word (so "Navarro" ⇔ "Alice Navarro");
+   ORGANIZATION key = acronym (first letters of capitalized words), so
+   "GDC" ⇔ "Global Data Consortium"; else whitespace-collapsed name.
+2. pronoun resolution to the NEAREST PRECEDING mention of compatible
+   type: he/him/his/she/her/hers → PERSON; it/its → ORGANIZATION or
+   LOCATION; they/them/their → ORGANIZATION, else any preceding cluster.
+3. cluster ``best`` = the longest mention text, earliest offset on ties
+   (the representative-mention stand-in).
+
+Only clusters with >= 2 mentions are emitted (singletons carry no
+propagation value for T12).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+from .. import schemas
+from .ner import PRONOUN_TYPE
+
+_MALE_F = {"he", "him", "his"}
+_FEMALE_F = {"she", "her", "hers"}
+_PERSON_PRON = _MALE_F | _FEMALE_F
+_THING_PRON = {"it", "its"}
+_PLURAL_PRON = {"they", "them", "their"}
+_WS = re.compile(r"\s+")
+
+
+def mention_key(name: str, entity_type: str) -> str:
+    words = name.split()
+    if entity_type == "PERSON":
+        return "P:" + words[-1].lower()
+    if entity_type == "ORGANIZATION":
+        if len(words) == 1:
+            return "O:" + words[0].lower() if words[0].isupper() else "O:" + words[0].lower()
+        acr = "".join(w[0] for w in words if w[0].isupper())
+        return "O:" + acr.lower()
+    return entity_type[0] + ":" + _WS.sub(" ", name).lower()
+
+
+def cluster_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One conversation's mentions (entities + pronouns) → CLUSTERS rows."""
+    conv_id = pdf["conv_id"].iloc[0]
+    ms = pdf.sort_values(["offset", "text"]).reset_index(drop=True)
+
+    ents = ms[ms["entity_type"] != PRONOUN_TYPE]
+    prons = ms[ms["entity_type"] == PRONOUN_TYPE]
+
+    key_to_cluster: dict[str, int] = {}
+    clusters: list[dict] = []  # {mentions: [(text, offset)], type, names}
+
+    for r in ents.itertuples():
+        k = mention_key(r.name, r.entity_type)
+        if k not in key_to_cluster:
+            key_to_cluster[k] = len(clusters)
+            clusters.append({"mentions": [], "type": r.entity_type})
+        clusters[key_to_cluster[k]]["mentions"].append((r.text, int(r.offset)))
+
+    # ordered (offset, cluster_idx, type) of entity mentions for pronoun search
+    ordered = sorted(
+        (off, key_to_cluster[mention_key(r.name, r.entity_type)], r.entity_type)
+        for r in ents.itertuples()
+        for off in [int(r.offset)]
+    )
+
+    def nearest_preceding(off: int, want) -> int | None:
+        best = None
+        for o, ci, t in ordered:
+            if o >= off:
+                break
+            if want(t):
+                best = ci
+        return best
+
+    for r in prons.itertuples():
+        lw = r.text.lower()
+        off = int(r.offset)
+        if lw in _PERSON_PRON:
+            ci = nearest_preceding(off, lambda t: t == "PERSON")
+        elif lw in _THING_PRON:
+            ci = nearest_preceding(off, lambda t: t in ("ORGANIZATION", "LOCATION", "OTHER"))
+        elif lw in _PLURAL_PRON:
+            ci = nearest_preceding(off, lambda t: t == "ORGANIZATION")
+            if ci is None:
+                ci = nearest_preceding(off, lambda t: True)
+        else:
+            ci = nearest_preceding(off, lambda t: t == "PERSON")
+        if ci is not None:
+            clusters[ci]["mentions"].append((r.text, off))
+
+    recs = []
+    cid = 0
+    for c in clusters:
+        if len(c["mentions"]) < 2:
+            continue
+        mentions = sorted(c["mentions"], key=lambda m: m[1])
+        best = min(mentions, key=lambda m: (-len(m[0]), m[1]))
+        recs.append(
+            (conv_id, cid, {"text": best[0], "offset": best[1]},
+             [{"text": t, "offset": o} for t, o in mentions])
+        )
+        cid += 1
+    return pd.DataFrame(recs, columns=["conv_id", "cluster_id", "best", "mentions"]).astype(
+        {"cluster_id": "int32"} if recs else {}
+    )
+
+
+def clusters(mentions: DataFrame) -> DataFrame:
+    """mentions (ENTITIES schema incl. pronoun rows) → CLUSTERS.
+
+    Grouped applyInPandas on conv_id — the unavoidable doc-scoped shuffle;
+    group payload is mention rows only (not turn text), so even the hot
+    conversation's group stays small relative to its text volume.
+    """
+    return mentions.groupBy("conv_id").applyInPandas(
+        lambda pdf: cluster_conversation(pdf), schema=schemas.CLUSTERS
+    )

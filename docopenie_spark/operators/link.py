@@ -1,0 +1,114 @@
+"""Entity linking (SURVEY.md §2.3 T9/T10; reference tool/link/Linker.scala).
+
+The reference builds an ArgContext per extraction argument (clean the
+arg, gather context sentences via coref siblings) and calls an external
+linker against an on-disk index, keeping links with combinedScore >= 5.0
+(Linker.scala:63,156) and recomputing offsets from token + sentence
+offset (:153-162).
+
+Spark-first re-expression:
+- candidate generation = a BROADCAST equi-join of normalized arg keys
+  against the (small) entity dictionary exploded over name + aliases —
+  the dictionary plays the role of the reference's linker index;
+- scoring = deterministic column expressions (exact-name 6.0 / alias 5.5
+  / word-containment 4.0 base, + 0.4·log10(1+inlinks)); only relative
+  ordering and the 5.0 threshold are observable behavior (SURVEY.md U3);
+- argmax per argument = row_number over a descending-score window —
+  the reference's getBestEntity head-of-sorted-list.
+
+Arg cleaning (P7, Linker.scala:73-82): leading determiners and
+leading/trailing prepositions are stripped token-wise; the link offset is
+the CLEANED text's doc offset, as in the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .tokenize import DETERMINERS, PREPOSITIONS
+
+_STRIP_LEAD = sorted(DETERMINERS | PREPOSITIONS)
+
+
+def exploded_args(triples_raw: DataFrame) -> DataFrame:
+    """Distinct extraction arguments (Linker.scala:127 args.distinct)."""
+    a = triples_raw.select(
+        "conv_id",
+        F.explode(F.array(F.col("arg1"), F.col("arg2"))).alias("p"),
+    ).select("conv_id", F.col("p.text").alias("text"), F.col("p.offset").alias("offset"))
+    return a.dropDuplicates(["conv_id", "offset", "text"])
+
+
+def with_clean_arg(args: DataFrame) -> DataFrame:
+    """P7: drop leading determiners/prepositions (word-wise) and trailing
+    punctuation; track the offset shift so link offsets stay exact."""
+    words = F.split(F.col("text"), " ")
+    first = F.lower(F.element_at(words, 1))
+    strip_first = first.isin(*_STRIP_LEAD)
+    clean = F.when(strip_first, F.expr("substring(text, length(split(text,' ')[0]) + 2)")).otherwise(
+        F.col("text")
+    )
+    shift = F.when(strip_first, F.length(F.split(F.col("text"), " ")[0]) + 1).otherwise(F.lit(0))
+    return args.select(
+        "conv_id",
+        "text",
+        "offset",
+        F.trim(clean).alias("clean_text"),
+        (F.col("offset") + shift.cast("long")).alias("clean_offset"),
+    ).where(F.length("clean_text") > 0)
+
+
+def links(
+    triples_raw: DataFrame,
+    entity_dict: DataFrame,
+    min_combined_score: float = 5.0,
+) -> DataFrame:
+    """TRIPLES_RAW × entity_dict → LINKS (threshold = the reference's
+    hardcoded minCombinedScore 5.0, Linker.scala:63)."""
+    args = with_clean_arg(exploded_args(triples_raw))
+
+    # explode the dictionary over name + aliases with a per-key kind
+    cand = entity_dict.select(
+        "id", "name", "types", "inlinks",
+        F.explode(
+            F.concat(
+                F.array(F.struct(F.lower("name").alias("key"), F.lit("name").alias("src"))),
+                F.transform(
+                    "aliases",
+                    lambda a: F.struct(F.lower(a).alias("key"), F.lit("alias").alias("src")),
+                ),
+            )
+        ).alias("k"),
+    ).select("id", "name", "types", "inlinks", F.col("k.key").alias("key"), F.col("k.src").alias("src"))
+
+    j = args.join(
+        F.broadcast(cand), F.lower(args.clean_text) == cand.key, "inner"
+    )
+
+    cand_score = F.when(F.col("src") == "name", F.lit(6.0)).otherwise(F.lit(5.5))
+    inlink_score = 0.4 * F.log10(F.lit(1.0) + F.col("inlinks"))
+    doc_sim = F.lit(0.0)
+    score = cand_score + inlink_score + doc_sim
+
+    w = Window.partitionBy("conv_id", "offset", "text").orderBy(
+        F.desc("score"), F.asc("id")
+    )
+    return (
+        j.select(
+            "conv_id",
+            F.col("clean_text").alias("text"),
+            F.col("clean_offset").alias("offset"),
+            "name",
+            "id",
+            score.alias("score"),
+            doc_sim.alias("doc_sim"),
+            cand_score.alias("cand_score"),
+            "inlinks",
+            "types",
+        )
+        .where(F.col("score") >= min_combined_score)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1,0 +1,102 @@
+"""End-to-end pipeline DAG (SURVEY.md §3 EP1 Spark equivalent):
+
+transcripts → turns+offsets → sentences → parsed → [triples_raw ∥
+entities ∥ clusters] → links → best_mentions → best_mentions_expanded →
+substituted triples.
+
+``run_pipeline`` builds the lazy DAG and returns every stage DataFrame;
+callers checkpoint whichever stages they want via sources/checkpoints.py
+(the reference's serialized-doc two-phase design, main/KbpDocSerializer.scala,
+becomes per-stage tables + lineage).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .. import datagen
+from ..operators import assembly, bestmention, coref, extract, link, ner, segment, substitute
+from ..operators import tokenize as tok
+
+
+@dataclass
+class PipelineResult:
+    turns: DataFrame
+    docs: DataFrame
+    sentences: DataFrame
+    parsed: DataFrame
+    triples_raw: DataFrame
+    entities: DataFrame
+    mentions: DataFrame
+    clusters: DataFrame
+    links: DataFrame | None
+    best_mentions: DataFrame
+    best_mentions_expanded: DataFrame
+    triples: DataFrame
+    extras: dict = field(default_factory=dict)
+
+
+def default_dictionaries() -> tuple[set[str], set[str], set[str]]:
+    """(first_names, gazetteer_names, last_names) from the synthesized
+    dimension data — the stand-ins for the reference's model/gazetteer
+    files under /scratch (BestEntityMentionFinder.scala:556-582)."""
+    first_names = {p[0] for p in datagen.PERSONS}
+    last_names = {p[1] for p in datagen.PERSONS}
+    rows = datagen.gazetteer_rows()
+    gaz_names = {r[0] for r in rows} | {r[4] for r in rows if len(r) > 4 and r[4]}
+    return first_names, gaz_names, last_names
+
+
+def run_pipeline(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    entity_dict: DataFrame | None = None,
+    gazetteer_rows: list[tuple] | None = None,
+    with_linking: bool = True,
+    with_coref_expansion: bool = True,
+) -> PipelineResult:
+    gaz_rows = gazetteer_rows if gazetteer_rows is not None else datagen.gazetteer_rows()
+    first_names, gaz_names, last_names = default_dictionaries()
+    gaz_names |= {r[0] for r in gaz_rows}
+
+    turns = assembly.with_turn_offsets(transcripts)
+    docs = assembly.doc_text_salted(transcripts)
+    sents = segment.sentences(turns)
+    parsed = tok.parsed_sentences(sents)
+    triples_raw = extract.triples_raw(parsed)
+
+    mentions = ner.entities(parsed, first_names, gaz_names, last_names)
+    ents, _prons = ner.split_mentions(mentions)
+    cl = coref.clusters(mentions)
+
+    lk = None
+    if with_linking:
+        ed = entity_dict if entity_dict is not None else datagen.entity_dict_df(spark)
+        lk = link.links(triples_raw, ed)
+
+    bems = bestmention.best_mentions(ents, docs, gaz_rows)
+    if with_coref_expansion:
+        bems_x = bestmention.expand_with_coref(bems, cl, lk)
+    else:
+        bems_x = bems
+
+    triples = substitute.substituted_triples(
+        triples_raw, bestmention.display_filter(bems_x)
+    )
+
+    return PipelineResult(
+        turns=turns,
+        docs=docs,
+        sentences=sents,
+        parsed=parsed,
+        triples_raw=triples_raw,
+        entities=ents,
+        mentions=mentions,
+        clusters=cl,
+        links=lk,
+        best_mentions=bems,
+        best_mentions_expanded=bems_x,
+        triples=triples,
+    )
