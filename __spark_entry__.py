@@ -1,10 +1,13 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)    — flagship: full KG pipeline (assembly → extraction →
+                  coref → canonicalization → linking → substitution) over
+                  seeded transcripts sized from sf0.001 documents.
+queries()       — one entry per implemented operator family (SURVEY.md §2
+                  plus the training-data ops); each takes (spark, sf_dir).
+oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
+                  NLP stages (T2-T13) are non-SQL-expressible and get the
+                  driver's rows-only check.
 """
 
 from __future__ import annotations
@@ -12,27 +15,345 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from docopenie_spark import datagen
+from docopenie_spark.functions import textnorm
+from docopenie_spark.operators import assembly, dedup, extract, ner, segment, similarity, textstats
+from docopenie_spark.operators import tokenize as tok
+from docopenie_spark.plans.pipeline import run_pipeline
+from docopenie_spark.sources.transcripts import DERIVED_SQL_CTE, derived_from_documents
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _kg_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded NL transcripts sized from the sf's documents row count
+    (deterministic; capped so the correctness gate stays fast)."""
+    n_docs = _docs(spark, sf_dir).count()
+    return datagen.transcripts_df(spark, min(8 * n_docs, 4000))
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: canonicalized
+    (subj, pred, obj) triples from the full pipeline."""
+    return run_pipeline(spark, _kg_transcripts(spark, "/root/testdata/sf0.001")).triples
+
+
+# --------------------------------------------------------------------
+# queries — (spark, sf_dir) -> DataFrame
+# --------------------------------------------------------------------
+
+def _q_turn_assembly(spark, sf_dir):
+    t = derived_from_documents(_docs(spark, sf_dir))
+    return assembly.with_turn_offsets(t).select("conv_id", "turn_idx", "turn_offset")
+
+
+def _q_doc_assembly(spark, sf_dir):
+    t = derived_from_documents(_docs(spark, sf_dir))
+    return assembly.doc_text_salted(t, group=4).select(
+        "conv_id", F.length("doc_text").cast("long").alias("doc_len")
+    )
+
+
+def _q_sentence_filter(spark, sf_dir):
+    t = derived_from_documents(_docs(spark, sf_dir))
+    return t.where(textnorm.sentence_keep("text")).select("conv_id", "turn_idx")
+
+
+def _q_grouped_dedup_first(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # total ordering: l_linenumber alone is not unique in this dataset —
+    # order-sensitive "keep head" dedup (A1) needs a deterministic key
+    w = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_orderkey", F.col("l_partkey").alias("first_partkey"))
+    )
+
+
+def _q_exact_dedup(spark, sf_dir):
+    return dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_salted_dedup(spark, sf_dir):
+    return dedup.exact_dedup_salted(_docs(spark, sf_dir), "doc_id", "text")
+
+
+def _q_fingerprints(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", textstats.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def _q_token_counts(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).alias("n_tokens"),
+        textstats.bpe_ish_token_count(F.col("text")).alias("n_pieces"),
+    )
+
+
+def _q_text_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.round(textstats.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        textstats.lang_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+def _q_interval_join(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    a = e.select(F.col("event_id").alias("a_id"), F.col("user_id").alias("u"), F.col("ts").alias("a_ts"))
+    b = e.select(F.col("user_id").alias("u"), F.col("ts").alias("b_ts"))
+    j = a.join(b, "u").where(
+        (F.col("b_ts") > F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    return (
+        a.join(
+            j.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_following")), "a_id", "left"
+        )
+        .select(F.col("a_id").alias("event_id"), F.coalesce("n_following", F.lit(0)).alias("n_following"))
+    )
+
+
+def _q_window_topk(spark, sf_dir):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rn").alias("rank"))
+    )
+
+
+def _q_broadcast_join(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def _q_agg_lineitem(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def _q_embedding_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    out = similarity.brute_force_topk(emb, q, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
+
+
+# -------- KG pipeline stages (non-SQL-expressible → rows-only checks)
+
+def _q_kg_sentences(spark, sf_dir):
+    t = _kg_transcripts(spark, sf_dir)
+    return segment.sentences(assembly.with_turn_offsets(t))
+
+
+def _q_kg_triples_raw(spark, sf_dir):
+    t = _kg_transcripts(spark, sf_dir)
+    parsed = tok.parsed_sentences(segment.sentences(assembly.with_turn_offsets(t)))
+    tr = extract.triples_raw(parsed)
+    return tr.select(
+        "conv_id", "turn_idx", "sent_num",
+        F.col("arg1.text").alias("arg1"), F.col("rel.text").alias("rel"),
+        F.col("arg2.text").alias("arg2"), "confidence", "extractor",
+    )
+
+
+def _q_kg_entities(spark, sf_dir):
+    t = _kg_transcripts(spark, sf_dir)
+    r = run_pipeline(spark, t, with_linking=False, with_coref_expansion=False)
+    return r.entities
+
+
+def _q_kg_links(spark, sf_dir):
+    t = _kg_transcripts(spark, sf_dir)
+    r = run_pipeline(spark, t, with_coref_expansion=False)
+    return r.links.select("conv_id", "text", "offset", "name", "id",
+                          F.round("score", 4).alias("score"))
+
+
+def _q_kg_best_mentions(spark, sf_dir):
+    t = _kg_transcripts(spark, sf_dir)
+    r = run_pipeline(spark, t)
+    b = r.best_mentions_expanded
+    return b.select("conv_id", "kind", F.col("target.text").alias("target_text"),
+                    F.col("target.offset").alias("target_offset"), "best_mention")
+
+
+def _q_kg_triples(spark, sf_dir):
+    t = _kg_transcripts(spark, sf_dir)
+    return run_pipeline(spark, t).triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "turn_assembly": _q_turn_assembly,
+        "doc_assembly": _q_doc_assembly,
+        "sentence_filter": _q_sentence_filter,
+        "grouped_dedup_first": _q_grouped_dedup_first,
+        "exact_dedup": _q_exact_dedup,
+        "salted_dedup": _q_salted_dedup,
+        "fingerprints": _q_fingerprints,
+        "token_counts": _q_token_counts,
+        "text_quality": _q_text_quality,
+        "interval_join": _q_interval_join,
+        "window_topk": _q_window_topk,
+        "broadcast_join": _q_broadcast_join,
+        "agg_lineitem": _q_agg_lineitem,
+        "embedding_topk": _q_embedding_topk,
+        "kg_sentences": _q_kg_sentences,
+        "kg_triples_raw": _q_kg_triples_raw,
+        "kg_entities": _q_kg_entities,
+        "kg_links": _q_kg_links,
+        "kg_best_mentions": _q_kg_best_mentions,
+        "kg_triples": _q_kg_triples,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------
+# oracle SQL (DuckDB, views pre-registered)
+# --------------------------------------------------------------------
+
+_STOPWORDS = "'" + "','".join(textstats.STOPWORDS_EN) + "'"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "turn_assembly": DERIVED_SQL_CTE + """
+            SELECT conv_id, turn_idx,
+                   cast(coalesce(sum(length(text) + 1) OVER (
+                       PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS turn_offset
+            FROM transcripts
+        """,
+        "doc_assembly": DERIVED_SQL_CTE + """
+            SELECT conv_id,
+                   cast(length(string_agg(text, chr(10) ORDER BY turn_idx)) AS BIGINT) AS doc_len
+            FROM transcripts GROUP BY conv_id
+        """,
+        "sentence_filter": DERIVED_SQL_CTE + """
+            SELECT conv_id, turn_idx FROM transcripts
+            WHERE length(text) <= 750
+              AND len(string_split_regex(trim(text), '\\s+')) >= 4
+        """,
+        "grouped_dedup_first": """
+            SELECT l_orderkey, l_partkey AS first_partkey FROM (
+              SELECT l_orderkey, l_partkey,
+                     row_number() OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity) rn
+              FROM lineitem) WHERE rn = 1
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS rep_id, count(*) AS group_size
+            FROM documents GROUP BY text
+        """,
+        "salted_dedup": """
+            SELECT min(doc_id) AS rep_id, count(*) AS group_size
+            FROM documents GROUP BY text
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_pieces
+            FROM documents
+        """,
+        "text_quality": f"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x)) AS ws
+              FROM documents
+            ), s AS (
+              SELECT doc_id, ws,
+                     len(list_filter(ws, x -> list_contains([{_STOPWORDS}], x))) AS sw,
+                     len(list_filter(ws, x -> list_contains(['the','and','of','to','is'], x))) AS n_en,
+                     len(list_filter(ws, x -> list_contains(['el','la','de','que','los'], x))) AS n_es,
+                     len(list_filter(ws, x -> list_contains(['der','die','und','das','ist'], x))) AS n_de,
+                     len(list_filter(ws, x -> list_contains(['le','la','les','des','est'], x))) AS n_fr
+              FROM w
+            )
+            SELECT doc_id,
+                   round(sw / greatest(len(ws), 1), 6) AS stopword_ratio,
+                   CASE WHEN n_en=0 AND n_es=0 AND n_de=0 AND n_fr=0 THEN 'und'
+                        WHEN n_en >= n_es AND n_en >= n_de AND n_en >= n_fr THEN 'en'
+                        WHEN n_es >= n_de AND n_es >= n_fr THEN 'es'
+                        WHEN n_de >= n_fr THEN 'de'
+                        ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "interval_join": """
+            SELECT a.event_id,
+                   cast(coalesce((
+                     SELECT count(*) FROM events b
+                     WHERE b.user_id = a.user_id
+                       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR), 0) AS BIGINT)
+                   AS n_following
+            FROM events a
+        """,
+        "window_topk": """
+            SELECT o_custkey, o_orderkey, cast(rn AS INT) AS rank FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "broadcast_join": """
+            SELECT n_name, round(sum(o_totalprice), 2) AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "agg_lineitem": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "embedding_topk": """
+            WITH q AS (SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id < 8),
+                 c AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS cv FROM embeddings),
+                 s AS (SELECT q.qid AS query_id, c.vec_id,
+                              list_cosine_similarity(qv, cv) AS cos
+                       FROM q, c WHERE c.vec_id != q.qid),
+                 r AS (SELECT query_id, vec_id, cos,
+                              row_number() OVER (PARTITION BY query_id
+                                                 ORDER BY cos DESC, vec_id) AS rank
+                       FROM s)
+            SELECT query_id, vec_id, round(cos, 4) AS cosine, cast(rank AS INT) AS rank
+            FROM r WHERE rank <= 5
+        """,
+        # kg_* stages are deterministic NLP transforms over the seeded
+        # transcript generator — not SQL-expressible; rows-only checks.
+    }

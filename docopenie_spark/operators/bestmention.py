@@ -78,68 +78,122 @@ def _initials(name: str) -> str:
     return "".join(w[0] for w in name.split() if w[:1].isupper())
 
 
-def _proximity(cands: list[tuple[str, int]], off: int) -> list[tuple[str, int]]:
-    return sorted(cands, key=lambda c: (abs(c[1] - off), c[1]))
+def _as_index(cands) -> dict[str, list[int]]:
+    """Candidates as {name: sorted occurrence offsets} — distinct names
+    are few even when occurrences are many (the hot-conversation case),
+    so every rule scan below is O(#distinct names · log #occurrences)."""
+    if isinstance(cands, dict):
+        return cands
+    idx: dict[str, list[int]] = {}
+    for n, o in cands:
+        idx.setdefault(n, []).append(int(o))
+    for v in idx.values():
+        v.sort()
+    return idx
 
 
-def _candidate_count(cands: list[tuple[str, int]]) -> float:
-    names = {c[0] for c in cands}
-    return 1.0 / len(names) if names else 1.0
+def _nearest_occ(offs: list[int], off: int) -> tuple[int, int]:
+    """(distance, occurrence_offset) of the occurrence closest to off."""
+    from bisect import bisect_left
+
+    i = bisect_left(offs, off)
+    best = None
+    for j in (i - 1, i):
+        if 0 <= j < len(offs):
+            c = (abs(offs[j] - off), offs[j])
+            if best is None or c < best:
+                best = c
+    return best
 
 
-def best_org(name: str, off: int, org_cands: list[tuple[str, int]], doc: str):
+def _pick(matching: dict[str, list[int]], off: int):
+    """Nearest-occurrence proximity selection over matching names —
+    reproduces the reference's sortBy(|cand.offset - entity.offset|) +
+    head (ref :129-132); count = 1/|distinct names| (ref :433).
+
+    The chosen NAME depends on the entity's offset only when more than
+    one candidate name matches — resolve_conversation memoizes the
+    single-candidate case per (type, name), which collapses the hot
+    conversation's 400k-entity loop to ~|distinct names| rule runs."""
+    if not matching:
+        return None
+    best = min(
+        ((_nearest_occ(offs, off), n) for n, offs in matching.items()),
+        key=lambda t: (t[0][0], t[0][1], t[1]),
+    )
+    (dist, occ), n = best
+    return n, (n, occ), 1.0 / len(matching)
+
+
+def _offset_independent(res) -> bool:
+    """True when a rule result cannot vary with the entity's offset:
+    no candidate occurrence involved, or candidate_count == 1.0 (a single
+    matching name — the nearest occurrence may differ but the resolved
+    NAME and kind cannot)."""
+    return res is None or res[1] is None or res[2] == 1.0
+
+
+def best_org(name: str, off: int, org_cands, doc: str, memo: dict | None = None):
     """O-a/O-b/O-c; returns (best_name, (cand_name, cand_off)|None, count)."""
+    idx = _as_index(org_cands)
     words = name.split()
     # O-a: acronym expansion
     if len(words) == 1 and name.isupper() and len(name) >= 2:
-        cands = [(n, o) for n, o in org_cands if _initials(n) == name and n != name]
-        # doc anchor "… Full Name (ACR) …" confirms but candidates suffice
-        if cands:
-            cands = _proximity(cands, off)
-            return cands[0][0], cands[0], _candidate_count(cands)
-        m = re.search(
-            r"((?:[A-Z][\w.&-]*\s+){1,6})\(\s*" + re.escape(name) + r"\s*\)", doc
-        )
-        if m:
-            full = m.group(1).strip()
-            if _initials(full) == name:
-                return full, None, 1.0
+        matching = {n: o for n, o in idx.items() if n != name and _initials(n) == name}
+        if matching:
+            return _pick(matching, off)
+        # doc anchor "… Full Name (ACR) …" — name-dependent only: memoize
+        key = ("org_regex", name)
+        if memo is None or key not in (memo or {}):
+            m = re.search(
+                r"((?:[A-Z][\w.&-]*\s+){1,6})\(\s*" + re.escape(name) + r"\s*\)", doc
+            )
+            full = m.group(1).strip() if m else None
+            res = (full, None, 1.0) if full and _initials(full) == name else None
+            if memo is not None:
+                memo[key] = res
+        else:
+            res = memo[key]
+        if res:
+            return res
     # O-b: word prefix/suffix containment
-    cands = []
-    for n, o in org_cands:
+    matching = {}
+    for n, o in idx.items():
         cw = n.split()
         if len(cw) > len(words) and (cw[: len(words)] == words or cw[-len(words):] == words):
-            cands.append((n, o))
-    if cands:
-        cands = _proximity(cands, off)
-        return cands[0][0], cands[0], _candidate_count(cands)
+            matching[n] = o
+    if matching:
+        return _pick(matching, off)
     # O-c: char-prefix of one-word candidate
     if len(words) == 1:
-        cands = [
-            (n, o) for n, o in org_cands
+        matching = {
+            n: o for n, o in idx.items()
             if " " not in n and len(n) > len(name) and n.startswith(name)
-        ]
-        if cands:
-            cands = _proximity(cands, off)
-            return cands[0][0], cands[0], _candidate_count(cands)
+        }
+        if matching:
+            return _pick(matching, off)
     return None
 
 
-def best_loc(name: str, off: int, loc_cands: list[tuple[str, int]], doc: str,
-             gaz_container: dict, abbrev_state: dict):
+def best_loc(name: str, off: int, loc_cands, doc: str,
+             gaz_container: dict, abbrev_state: dict, memo: dict | None = None):
+    idx = _as_index(loc_cands)
     words = name.split()
     if len(words) != 1:
         return None
     # L-a: a sibling NER location already of the form "name, Container"
-    cands = [(n, o) for n, o in loc_cands if n.startswith(name + ",")]
-    if cands:
-        cands = _proximity(cands, off)
-        return cands[0][0], cands[0], _candidate_count(cands)
+    matching = {n: o for n, o in idx.items() if n.startswith(name + ",")}
+    if matching:
+        return _pick(matching, off)
     # L-b: gazetteer containment
     cont = gaz_container.get(name)
     if cont:
         return f"{name}, {location_casing(cont)}", None, 1.0
-    # L-c: doc-regex container counting — LEAST frequent, verbatim A4
+    # L-c: doc-regex container counting — LEAST frequent, verbatim A4;
+    # name-dependent only → memoized per conversation
+    key = ("loc_regex", name)
+    if memo is not None and key in memo:
+        return memo[key]
     pat = re.compile(
         r"(?:%s|%s),\s?([A-Z]\S+?)[\s.?!,]" % (re.escape(name), re.escape(name.lower()))
     )
@@ -148,58 +202,89 @@ def best_loc(name: str, off: int, loc_cands: list[tuple[str, int]], doc: str,
         c = m.group(1).rstrip(".,!?")
         c = abbrev_state.get(c, c)
         counts[c] = counts.get(c, 0) + 1
+    res = None
     if counts:
         least = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))[0][0]
-        return f"{name}, {location_casing(least)}", None, 1.0 / len(counts)
-    return None
+        res = (f"{name}, {location_casing(least)}", None, 1.0 / len(counts))
+    if memo is not None:
+        memo[key] = res
+    return res
 
 
-def best_person(name: str, off: int, per_cands: list[tuple[str, int]], doc: str):
+def best_person(name: str, off: int, per_cands, doc: str, memo: dict | None = None):
+    idx = _as_index(per_cands)
     words = name.split()
-    cands = []
-    for n, o in per_cands:
+    matching = {}
+    for n, o in idx.items():
         cw = n.split()
         if len(words) < len(cw) < 4 and (cw[: len(words)] == words or cw[-len(words):] == words):
-            cands.append((n, o))
-    if cands:
-        cands = _proximity(cands, off)
-        return cands[0][0], cands[0], _candidate_count(cands)
-    # P-b: conservative name-regex fallback (ref :405)
+            matching[n] = o
+    if matching:
+        return _pick(matching, off)
+    # P-b: conservative name-regex fallback (ref :405); memoized per name
     if len(words) == 1:
+        key = ("per_regex", name)
+        if memo is not None and key in memo:
+            return memo[key]
+        res = None
         for m in re.finditer(r"(?:\.|\s[a-z]+\s)([A-Z]\w+\s[A-Z]\w+)(?=\.|\s[a-z]+\s)", doc):
             full = m.group(1)
-            fw = full.split()
-            if words[0] in fw and full != name:
-                return full, None, 0.5
+            if words[0] in full.split() and full != name:
+                res = (full, None, 0.5)
+                break
+        if memo is not None:
+            memo[key] = res
+        return res
     return None
 
 
 def resolve_conversation(ents: pd.DataFrame, doc: str,
                          gaz_container: dict, abbrev_state: dict) -> list[tuple]:
-    """All entities of one conversation → best-mention rows (T11)."""
+    """All entities of one conversation → best-mention rows (T11).
+
+    Candidates are indexed once per conversation as {name: sorted offs};
+    doc-regex fallbacks memoize per (rule, name) — together these keep the
+    hot conversation (10% of all turns in one group) near-linear instead
+    of O(entities²)."""
     conv_id = ents["conv_id"].iloc[0]
-    by_type: dict[str, list[tuple[str, int]]] = {}
+    by_type: dict[str, dict[str, list[int]]] = {}
     for r in ents.itertuples():
-        by_type.setdefault(r.entity_type, []).append((r.name, int(r.offset)))
+        by_type.setdefault(r.entity_type, {}).setdefault(r.name, []).append(int(r.offset))
+    for d in by_type.values():
+        for v in d.values():
+            v.sort()
+    memo: dict = {}
+    full_memo: dict = {}  # (typ, name) → res, when offset-independent
+
+    def _resolve(name: str, off: int, typ: str):
+        if typ == "ORGANIZATION":
+            return best_org(name, off, by_type.get("ORGANIZATION", {}), doc, memo)
+        if typ == "LOCATION":
+            return best_loc(name, off, by_type.get("LOCATION", {}), doc,
+                            gaz_container, abbrev_state, memo)
+        if typ == "PERSON":
+            return best_person(name, off, by_type.get("PERSON", {}), doc, memo)
+        # OTHER: org → loc → person cascade (ref :113-125)
+        return (
+            best_org(name, off, by_type.get("ORGANIZATION", {}), doc, memo)
+            or best_loc(name, off, by_type.get("LOCATION", {}), doc,
+                        gaz_container, abbrev_state, memo)
+            or best_person(name, off, by_type.get("PERSON", {}), doc, memo)
+        )
 
     rows = []
     for r in ents.itertuples():
         name, off, typ = r.name, int(r.offset), r.entity_type
-        res = None
-        if typ == "ORGANIZATION":
-            res = best_org(name, off, by_type.get("ORGANIZATION", []), doc)
-        elif typ == "LOCATION":
-            res = best_loc(name, off, by_type.get("LOCATION", []), doc,
-                           gaz_container, abbrev_state)
-        elif typ == "PERSON":
-            res = best_person(name, off, by_type.get("PERSON", []), doc)
-        else:  # OTHER: org → loc → person cascade (ref :113-125)
-            res = (
-                best_org(name, off, by_type.get("ORGANIZATION", []), doc)
-                or best_loc(name, off, by_type.get("LOCATION", []), doc,
-                            gaz_container, abbrev_state)
-                or best_person(name, off, by_type.get("PERSON", []), doc)
-            )
+        fkey = (typ, name)
+        if fkey in full_memo:
+            res = full_memo[fkey]
+        else:
+            res = _resolve(name, off, typ)
+            # memoize only when the resolved name cannot vary with offset
+            # (single matching candidate); best_entity's occurrence offset
+            # is metadata and may pin to this entity's nearest occurrence
+            if _offset_independent(res):
+                full_memo[fkey] = res
         target = {"text": r.text, "offset": off, "name": name, "entity_type": typ}
         if res is None or res[0] == name:
             rows.append((conv_id, "identity", target, name, None, 1.0, None))
@@ -275,7 +360,7 @@ def expand_with_coref(bems: DataFrame, clusters: DataFrame,
 
     new_rows = []
 
-    if links is not None and not links.isEmpty():
+    if links is not None:
         l = links.select(
             F.col("conv_id").alias("l_conv"), F.col("offset").alias("l_off"),
             F.col("name").alias("l_name"), F.col("id").alias("l_id"),

@@ -72,35 +72,40 @@ def cluster_conversation(pdf: pd.DataFrame) -> pd.DataFrame:
             clusters.append({"mentions": [], "type": r.entity_type})
         clusters[key_to_cluster[k]]["mentions"].append((r.text, int(r.offset)))
 
-    # ordered (offset, cluster_idx, type) of entity mentions for pronoun search
-    ordered = sorted(
-        (off, key_to_cluster[mention_key(r.name, r.entity_type)], r.entity_type)
-        for r in ents.itertuples()
-        for off in [int(r.offset)]
-    )
+    # per-category sorted (offset, cluster_idx) indexes + bisect — keeps
+    # pronoun resolution O(P log E) even for the hot conversation whose
+    # single group holds ~10% of all turns (the skew case, BASELINE.md)
+    from bisect import bisect_left
 
-    def nearest_preceding(off: int, want) -> int | None:
-        best = None
-        for o, ci, t in ordered:
-            if o >= off:
-                break
-            if want(t):
-                best = ci
-        return best
+    def build(pred) -> list[tuple[int, int]]:
+        return sorted(
+            (int(r.offset), key_to_cluster[mention_key(r.name, r.entity_type)])
+            for r in ents.itertuples()
+            if pred(r.entity_type)
+        )
+
+    idx_person = build(lambda t: t == "PERSON")
+    idx_thing = build(lambda t: t in ("ORGANIZATION", "LOCATION", "OTHER"))
+    idx_org = build(lambda t: t == "ORGANIZATION")
+    idx_any = build(lambda t: True)
+
+    def nearest_preceding(idx: list[tuple[int, int]], off: int) -> int | None:
+        i = bisect_left(idx, (off, -1))
+        return idx[i - 1][1] if i > 0 else None
 
     for r in prons.itertuples():
         lw = r.text.lower()
         off = int(r.offset)
         if lw in _PERSON_PRON:
-            ci = nearest_preceding(off, lambda t: t == "PERSON")
+            ci = nearest_preceding(idx_person, off)
         elif lw in _THING_PRON:
-            ci = nearest_preceding(off, lambda t: t in ("ORGANIZATION", "LOCATION", "OTHER"))
+            ci = nearest_preceding(idx_thing, off)
         elif lw in _PLURAL_PRON:
-            ci = nearest_preceding(off, lambda t: t == "ORGANIZATION")
+            ci = nearest_preceding(idx_org, off)
             if ci is None:
-                ci = nearest_preceding(off, lambda t: True)
+                ci = nearest_preceding(idx_any, off)
         else:
-            ci = nearest_preceding(off, lambda t: t == "PERSON")
+            ci = nearest_preceding(idx_person, off)
         if ci is not None:
             clusters[ci]["mentions"].append((r.text, off))
 

@@ -1,0 +1,225 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All four families work over a (id, text) table like ``documents``:
+
+- exact:   hash-groupBy on the full text (one shuffle, map-side combine)
+- minhash: char-shingles → 32-perm MinHash → banded LSH bucket join —
+  candidate pairs only ever meet inside a bucket, so the cross product
+  never materializes (the standard shingle→minhash→band→bucket-join
+  pipeline). Signature generation is FULLY JVM-SIDE: shingling via
+  sequence+transform+substring, permutations via xxhash64(shingle, seed).
+- simhash: 64-bit sign-sum of per-token hashes, vectorized numpy inside
+  an Arrow-batched mapInPandas (bit-twiddling is the one part built-ins
+  can't express); near-dup = hamming distance ≤ k via band join on
+  16-bit chunks.
+- ngram-jaccard: token n-gram sets + exact jaccard via array_intersect /
+  array_union on LSH-candidate pairs (verification step).
+
+Scale: every family is (narrow map) → (one shuffle on a well-distributed
+hash key). No driver-side loops, no cross joins.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# ------------------------------------------------------------- exact
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct text: representative id (min), group size.
+    Representative choice is deterministic (min id), not first()."""
+    return (
+        df.groupBy(F.col(text_col))
+        .agg(
+            F.min(id_col).alias("rep_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select("rep_id", "group_size")
+    )
+
+
+def exact_dedup_salted(df: DataFrame, id_col: str, text_col: str, salt: int = 8) -> DataFrame:
+    """Same result via two-level (salted) aggregation — the A1 pattern for
+    skewed keys: partial agg on (key, salt) then final merge. Equal output
+    to :func:`exact_dedup` by construction (min/sum are associative)."""
+    partial = (
+        df.withColumn("_salt", F.pmod(F.xxhash64(id_col), F.lit(salt)))
+        .groupBy(text_col, "_salt")
+        .agg(F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n"))
+    )
+    return (
+        partial.groupBy(text_col)
+        .agg(F.min("_rep").alias("rep_id"), F.sum("_n").alias("group_size"))
+        .select("rep_id", "group_size")
+    )
+
+
+# ------------------------------------------------------------ minhash
+
+def _shingles(text_col, k: int):
+    """Char k-shingles as a JVM-side array (no UDF)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    n = F.greatest(F.length(c) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(c, i, k))
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_k: int = 5
+) -> DataFrame:
+    """(id, sig: array<bigint>[num_perm]) — min over xxhash64(shingle, seed)."""
+    sh = _shingles(text_col, shingle_k)
+    sig = F.array(
+        *[F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j)))) for j in range(num_perm)]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
+    """Banded LSH: split the signature into ``bands`` equal slices, bucket
+    on the hash of each slice, emit candidate pairs sharing any bucket."""
+    rows_per_band = F.floor(F.size("sig") / bands).cast("int")
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).select(
+        "id",
+        "sig",
+        "band",
+        F.xxhash64(
+            F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band), F.col("band")
+        ).alias("bucket"),
+    )
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t))
+        / F.size("sig_a")
+    )
+    return pairs.select("id_a", "id_b", est.alias("jaccard_est"))
+
+
+def minhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8,
+    num_perm: int = 32, bands: int = 8, shingle_k: int = 5,
+) -> DataFrame:
+    """Near-dup pairs with estimated jaccard >= threshold."""
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    return minhash_candidates(sigs, bands).where(F.col("jaccard_est") >= threshold)
+
+
+# ------------------------------------------------------------ simhash
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash: bigint) — 64-bit sign-sum over token xxhash64s,
+    numpy-vectorized inside one Arrow batch UDF."""
+    import numpy as np
+
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            out = []
+            for text in b["text"]:
+                toks = text.split()
+                if not toks:
+                    out.append(0)
+                    continue
+                hs = np.array(
+                    [np.uint64(hash64(t)) for t in toks], dtype=np.uint64
+                )
+                bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+                    np.int64
+                )
+                v = (2 * bits - 1).sum(axis=0)
+                sh = np.uint64(0)
+                for i in range(64):
+                    if v[i] > 0:
+                        sh |= np.uint64(1) << np.uint64(i)
+                out.append(int(np.int64(sh)))
+            yield pd.DataFrame({"id": b["id"], "simhash": pd.array(out, dtype="int64")})
+
+    def hash64(s: str) -> int:
+        import zlib
+
+        h1 = zlib.crc32(s.encode())
+        h2 = zlib.crc32((s + "\x00salt").encode())
+        return (h1 << 32) | h2
+
+    return src.mapInPandas(run, schema="id bigint, simhash bigint")
+
+
+def simhash_near_dups(sims: DataFrame, max_hamming: int = 3, bands: int | None = None) -> DataFrame:
+    """Candidate pairs via banded chunk equality, verified by exact
+    popcount. Pigeonhole: with B bands, any pair with hamming < B shares
+    at least one identical band — so bands defaults to max_hamming + 1
+    (rounded to a divisor of 64) for guaranteed recall."""
+    if bands is None:
+        bands = next(b for b in (4, 8, 16, 32) if b > max_hamming)
+    assert 64 % bands == 0
+    width = 64 // bands
+    mask = (1 << width) - 1
+    chunks = sims.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("chunk"),
+    ).select(
+        "id",
+        "simhash",
+        "chunk",
+        # arithmetic >> plus the mask equals a logical shift for every
+        # band position whose masked bits are genuine
+        F.expr(f"(simhash >> (chunk * {width})) & {mask}").alias("ck"),
+    )
+    a = chunks.select("chunk", "ck", F.col("id").alias("id_a"), F.col("simhash").alias("h_a"))
+    b = chunks.select("chunk", "ck", F.col("id").alias("id_b"), F.col("simhash").alias("h_b"))
+    pairs = (
+        a.join(b, ["chunk", "ck"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.select("id_a", "id_b", ham.alias("hamming")).where(ham <= max_hamming)
+
+
+# ------------------------------------------------------ ngram jaccard
+
+def ngram_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, grams: array<string>) — distinct token n-grams, JVM-side."""
+    words = F.split(F.col(text_col), "\\s+")
+    m = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+        )
+    )
+    return df.select(F.col(id_col).alias("id"), grams.alias("grams"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5,
+    num_perm: int = 32, bands: int = 8,
+) -> DataFrame:
+    """Exact n-gram jaccard over MinHash-LSH candidate pairs (candidate
+    generation bounds the pair count; exact verification on survivors)."""
+    cands = minhash_dedup(df, id_col, text_col, threshold=0.0, num_perm=num_perm, bands=bands)
+    g = ngram_sets(df, id_col, text_col, n)
+    j = (
+        cands.select("id_a", "id_b")
+        .join(g.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "g_a"), "id_a")
+        .join(g.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "g_b"), "id_b")
+    )
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    return j.select("id_a", "id_b", jac.alias("jaccard")).where(jac >= threshold)

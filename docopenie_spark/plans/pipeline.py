@@ -17,7 +17,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import datagen
-from ..operators import assembly, bestmention, coref, extract, link, ner, segment, substitute
+from ..operators import (
+    assembly, bestmention, coref, extract, fused, link, ner, segment, substitute,
+)
 from ..operators import tokenize as tok
 
 
@@ -56,27 +58,42 @@ def run_pipeline(
     gazetteer_rows: list[tuple] | None = None,
     with_linking: bool = True,
     with_coref_expansion: bool = True,
+    cache: bool = True,
 ) -> PipelineResult:
+    """Build the full DAG. With cache=True the fan-out points (parsed
+    sentences feed BOTH extraction and NER; triples_raw feeds linking AND
+    substitution) are persisted so shared prefixes compute once — the
+    Spark analogue of the reference's lazy-val memoization per document
+    (SURVEY.md §4 row 1). At cluster scale these become checkpoint tables
+    (sources/checkpoints.py) instead of memory."""
+    from pyspark import StorageLevel
+
     gaz_rows = gazetteer_rows if gazetteer_rows is not None else datagen.gazetteer_rows()
     first_names, gaz_names, last_names = default_dictionaries()
     gaz_names |= {r[0] for r in gaz_rows}
 
-    turns = assembly.with_turn_offsets(transcripts)
-    docs = assembly.doc_text_salted(transcripts)
-    sents = segment.sentences(turns)
-    parsed = tok.parsed_sentences(sents)
-    triples_raw = extract.triples_raw(parsed)
+    def _p(df: DataFrame) -> DataFrame:
+        return df.persist(StorageLevel.MEMORY_AND_DISK) if cache else df
 
-    mentions = ner.entities(parsed, first_names, gaz_names, last_names)
+    turns = assembly.with_turn_offsets(transcripts)
+    docs = _p(assembly.doc_text_salted(transcripts))
+    # fused segment+tokenize: ONE Python worker per task pipeline (see
+    # operators/fused.py); persisting it cuts the UDF chain so extract
+    # and NER each read cache with a single Python hop
+    parsed = _p(fused.parsed_sentences(turns))
+    sents = parsed.select("conv_id", "turn_idx", "sent_num", "offset", "text")
+    triples_raw = _p(extract.triples_raw(parsed))
+
+    mentions = _p(ner.entities(parsed, first_names, gaz_names, last_names))
     ents, _prons = ner.split_mentions(mentions)
-    cl = coref.clusters(mentions)
+    cl = _p(coref.clusters(mentions))
 
     lk = None
     if with_linking:
         ed = entity_dict if entity_dict is not None else datagen.entity_dict_df(spark)
-        lk = link.links(triples_raw, ed)
+        lk = _p(link.links(triples_raw, ed))
 
-    bems = bestmention.best_mentions(ents, docs, gaz_rows)
+    bems = _p(bestmention.best_mentions(ents, docs, gaz_rows))
     if with_coref_expansion:
         bems_x = bestmention.expand_with_coref(bems, cl, lk)
     else:

@@ -19,7 +19,7 @@ import os
 
 from pyspark.sql import SparkSession
 
-ARROW_BATCH = 2_000  # rows per Arrow batch handed to pandas UDFs
+ARROW_BATCH = 10_000  # rows per Arrow batch handed to pandas UDFs
 
 
 def get_spark(
@@ -41,10 +41,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Arrow-UDF stages are CPU-bound per ROW, not per byte: AQE's
+        # default 1 MiB minPartitionSize coalesces a small-by-bytes
+        # shuffle down to a handful of partitions and starves the Python
+        # workers of parallelism. 64 KiB keeps post-shuffle parallelism
+        # near the core count while still merging true slivers.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.session.timeZone", "UTC")
+        # measured in this sandbox: LARGER heaps run slower (8g: 65s,
+        # 16g: 103s, 24g: 136s for the same 1M-turn job) — fresh-page
+        # faults are expensive under the hypervisor, so a hot small heap
+        # beats a big cold one. Override with SPARK_DRIVER_MEM.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

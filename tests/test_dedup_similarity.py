@@ -1,0 +1,87 @@
+"""Dedup (exact / MinHash-LSH / SimHash / n-gram jaccard) and similarity
+search (brute-force + LSH ANN) on controlled fixtures."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from docopenie_spark.operators import dedup, similarity
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bank tonight"),  # near dup
+    (4, "completely different text about spark dataframes and shuffle partitions"),
+    (5, "another unrelated document describing iceberg tables and lineage rows"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r.rep_id: r.group_size for r in dedup.exact_dedup(docs, "doc_id", "text").collect()}
+    assert out[1] == 2  # docs 1+2 collapse, min id kept
+    assert out[3] == 1 and out[4] == 1 and out[5] == 1
+
+
+def test_salted_equals_plain(docs):
+    a = dedup.exact_dedup(docs, "doc_id", "text")
+    b = dedup.exact_dedup_salted(docs, "doc_id", "text", salt=4)
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_minhash_finds_exact_and_near_dups(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard_est
+             for r in dedup.minhash_dedup(docs, "doc_id", "text", threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0  # identical text → identical signatures
+    assert (1, 3) in pairs or (2, 3) in pairs  # near-dup caught
+    assert all(not (a in (4, 5) or b in (4, 5)) or {a, b} == {4, 5} or p >= 0.5
+               for (a, b), p in pairs.items())
+    assert (1, 4) not in pairs and (1, 5) not in pairs
+
+
+def test_simhash_near_dups(docs):
+    sims = dedup.simhash(docs, "doc_id", "text")
+    rows = {r.id: r.simhash for r in sims.collect()}
+    assert rows[1] == rows[2]  # identical text → identical simhash
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_near_dups(sims, max_hamming=8).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) in pairs  # one-word difference → small hamming
+    assert (1, 4) not in pairs
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+
+
+def test_brute_force_topk_self_similarity(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    vecs = [(i, rng.randn(16).astype(float).tolist(), 0) for i in range(30)]
+    # vec 29 = vec 0 scaled → cosine 1.0 must rank first for query 0
+    vecs[29] = (29, [2.0 * x for x in vecs[0][1]], 0)
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>, label int")
+    out = similarity.brute_force_topk(emb, emb.where(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].vec_id == 29
+    assert abs(rows[0].cosine - 1.0) < 1e-9
+    assert len(rows) == 3
+
+
+def test_lsh_topk_recalls_identical_vector(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    vecs = [(i, rng.randn(16).astype(float).tolist(), 0) for i in range(50)]
+    vecs[49] = (49, list(vecs[0][1]), 0)  # identical → same bucket always
+    emb = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>, label int")
+    out = similarity.lsh_topk(emb, emb.where(F.col("vec_id") == 0), dims=16, k=5)
+    got = {r.vec_id for r in out.collect()}
+    assert 49 in got
