@@ -122,7 +122,7 @@ def _pick(matching: dict[str, list[int]], off: int):
         key=lambda t: (t[0][0], t[0][1], t[1]),
     )
     (dist, occ), n = best
-    return n, (n, occ), 1.0 / len(matching)
+    return n, (n, occ), 1.0 / len(matching), matching
 
 
 def _offset_independent(res) -> bool:
@@ -131,6 +131,12 @@ def _offset_independent(res) -> bool:
     matching name — the nearest occurrence may differ but the resolved
     NAME and kind cannot)."""
     return res is None or res[1] is None or res[2] == 1.0
+
+
+def _matching_of(res):
+    """The matching-candidates dict a _pick-based result saw (4th slot);
+    regex-fallback results have no candidate set."""
+    return res[3] if res is not None and len(res) > 3 else None
 
 
 def best_org(name: str, off: int, org_cands, doc: str, memo: dict | None = None):
@@ -289,7 +295,7 @@ def resolve_conversation(ents: pd.DataFrame, doc: str,
         if res is None or res[0] == name:
             rows.append((conv_id, "identity", target, name, None, 1.0, None))
         else:
-            best_name, cand, count = res
+            best_name, cand, count = res[0], res[1], res[2]
             best_entity = None
             kind = "full"
             if cand is not None:
@@ -299,10 +305,10 @@ def resolve_conversation(ents: pd.DataFrame, doc: str,
     return rows
 
 
-def best_mentions(entities: DataFrame, docs: DataFrame,
-                  gazetteer_rows: list[tuple]) -> DataFrame:
-    """(ENTITIES, (conv_id, doc_text)) → BEST_MENTIONS via cogrouped
-    applyInPandas on conv_id (one shuffle, doc-scoped rules)."""
+def best_mentions_python(entities: DataFrame, docs: DataFrame,
+                         gazetteer_rows: list[tuple]) -> DataFrame:
+    """Per-occurrence cogrouped variant (parity reference): every entity
+    occurrence flows through Python. Kept for the parity test."""
     spark = entities.sparkSession
     gaz_container = {r[0]: r[2] for r in gazetteer_rows if r[2]}
     abbrev_state = {r[4]: r[0] for r in gazetteer_rows if len(r) > 4 and r[4]}
@@ -322,6 +328,154 @@ def best_mentions(entities: DataFrame, docs: DataFrame,
         .cogroup(docs.groupBy("conv_id"))
         .applyInPandas(run, schema=schemas.BEST_MENTIONS)
     )
+
+
+_RESOLVED = (
+    "conv_id string, entity_type string, name string, kind string, "
+    "best_mention string, "
+    "best_entity struct<text:string,offset:bigint,name:string,entity_type:string>, "
+    "candidate_count double, dep boolean, "
+    "matches array<struct<name:string,offs:array<bigint>>>"
+)
+
+
+def best_mentions(entities: DataFrame, docs: DataFrame,
+                  gazetteer_rows: list[tuple]) -> DataFrame:
+    """(ENTITIES, (conv_id, doc_text)) → BEST_MENTIONS.
+
+    Scale shape: the rule engine runs in Python ONCE PER DISTINCT
+    (conv_id, entity_type, name) — ~30 rows per conversation even for the
+    hot one — and the per-occurrence fan-out happens as a JVM hash join
+    back onto the entities table. Occurrence rows never cross the Arrow
+    boundary (the per-occurrence variant measured 40.8s at 1M turns;
+    distinct names are ~0.02% of occurrences on the skewed corpus).
+
+    Offset-dependent resolutions (more than one matching candidate name —
+    proximity decides per occurrence, ref :129-132) are detected in the
+    distinct pass and re-resolved per occurrence in a second, tiny
+    cogroup restricted to those names; such resolutions never take the
+    doc-regex fallbacks, so the second pass ships no doc text.
+    """
+    spark = entities.sparkSession
+    gaz_container = {r[0]: r[2] for r in gazetteer_rows if r[2]}
+    abbrev_state = {r[4]: r[0] for r in gazetteer_rows if len(r) > 4 and r[4]}
+    b_gaz = spark.sparkContext.broadcast((gaz_container, abbrev_state))
+
+    distinct = entities.groupBy("conv_id", "entity_type", "name").agg(
+        F.sort_array(F.collect_list("offset")).alias("offs"),
+        F.min("offset").alias("rep_off"),
+    )
+
+    def _by_type(names_pdf: pd.DataFrame) -> dict:
+        by_type: dict[str, dict[str, list[int]]] = {}
+        for r in names_pdf.itertuples():
+            by_type.setdefault(r.entity_type, {})[r.name] = [int(o) for o in r.offs]
+        return by_type
+
+    def _res_row(name, typ, off, by_type, doc, gc, ab, memo):
+        if typ == "ORGANIZATION":
+            return best_org(name, off, by_type.get("ORGANIZATION", {}), doc, memo)
+        if typ == "LOCATION":
+            return best_loc(name, off, by_type.get("LOCATION", {}), doc, gc, ab, memo)
+        if typ == "PERSON":
+            return best_person(name, off, by_type.get("PERSON", {}), doc, memo)
+        return (
+            best_org(name, off, by_type.get("ORGANIZATION", {}), doc, memo)
+            or best_loc(name, off, by_type.get("LOCATION", {}), doc, gc, ab, memo)
+            or best_person(name, off, by_type.get("PERSON", {}), doc, memo)
+        )
+
+    def _emit(conv_id, name, typ, res):
+        if res is None or res[0] == name:
+            return (conv_id, typ, name, "identity", name, None, 1.0, False, None)
+        best_name, cand, count = res[0], res[1], res[2]
+        be = None
+        if cand is not None:
+            be = {"text": cand[0], "offset": cand[1], "name": cand[0], "entity_type": typ}
+        dep = cand is not None and count < 1.0
+        matches = None
+        if dep:
+            m = _matching_of(res) or {}
+            matches = [{"name": n, "offs": offs} for n, offs in sorted(m.items())]
+        return (conv_id, typ, name, "full", best_name, be, count, dep, matches)
+
+    def resolve_names(names_pdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "entity_type", "name", "kind", "best_mention",
+                "best_entity", "candidate_count", "dep", "matches"]
+        if names_pdf.empty or dpdf.empty:
+            return pd.DataFrame([], columns=cols)
+        gc, ab = b_gaz.value
+        doc = dpdf["doc_text"].iloc[0]
+        conv_id = names_pdf["conv_id"].iloc[0]
+        by_type = _by_type(names_pdf)
+        memo: dict = {}
+        rows = [
+            _emit(conv_id, r.name, r.entity_type,
+                  _res_row(r.name, r.entity_type, int(r.rep_off), by_type, doc, gc, ab, memo))
+            for r in names_pdf.itertuples()
+        ]
+        return pd.DataFrame(rows, columns=cols)
+
+    resolved = (
+        distinct.groupBy("conv_id")
+        .cogroup(docs.groupBy("conv_id"))
+        .applyInPandas(resolve_names, schema=_RESOLVED)
+    )
+
+    joined = entities.join(resolved, ["conv_id", "entity_type", "name"], "left")
+
+    target = F.struct(
+        F.col("text"), F.col("offset"), F.col("name"), F.col("entity_type")
+    ).cast(schemas.ENTITY_REF).alias("target")
+
+    independent = joined.where(~F.coalesce("dep", F.lit(False))).select(
+        "conv_id",
+        F.coalesce("kind", F.lit("identity")).alias("kind"),
+        target,
+        F.coalesce("best_mention", F.col("name")).alias("best_mention"),
+        F.col("best_entity").cast(schemas.ENTITY_REF).alias("best_entity"),
+        F.coalesce("candidate_count", F.lit(1.0)).alias("candidate_count"),
+        F.lit(None).cast("int").alias("cluster_id"),
+    )
+
+    # second pass — per-occurrence proximity for multi-candidate names,
+    # FULLY NATIVE: the matching-candidate set rides along as an array
+    # column and nested array_min(transform(...)) reproduces _pick's
+    # exact tie order (distance, occurrence offset, name) per occurrence.
+    # No explode, no Python, no self-join.
+    dep = joined.where(F.coalesce("dep", F.lit(False)))
+
+    inner = lambda m: F.array_min(
+        F.transform(
+            m["offs"],
+            lambda o: F.struct(
+                F.abs(o - F.col("offset")).alias("d"), o.alias("occ")
+            ),
+        )
+    )
+    best = F.array_min(
+        F.transform(
+            "matches",
+            lambda m: F.struct(
+                inner(m)["d"].alias("d"),
+                inner(m)["occ"].alias("occ"),
+                m["name"].alias("n"),
+            ),
+        )
+    )
+    dep_rows = dep.select(
+        "conv_id",
+        F.lit("full").alias("kind"),
+        target,
+        best["n"].alias("best_mention"),
+        F.struct(
+            best["n"].alias("text"), best["occ"].alias("offset"),
+            best["n"].alias("name"), F.col("entity_type"),
+        ).cast(schemas.ENTITY_REF).alias("best_entity"),
+        (F.lit(1.0) / F.size("matches")).alias("candidate_count"),
+        F.lit(None).cast("int").alias("cluster_id"),
+    )
+    return independent.unionByName(dep_rows)
 
 
 def display_filter(bems: DataFrame) -> DataFrame:

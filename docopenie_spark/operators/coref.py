@@ -174,11 +174,15 @@ def clusters(mentions: DataFrame) -> DataFrame:
     )
 
     # preceding frame ordered so an entity at the SAME offset as a pronoun
-    # sorts after it (strictly-preceding semantics of the bisect version)
+    # sorts after it (strictly-preceding semantics of the bisect version).
+    # Frame ends at currentRow, NOT -1: a pronoun row contributes null to
+    # last(entity key) anyway, and the currentRow-bounded running frame
+    # takes Spark's incremental O(n) path while (…, -1) falls into the
+    # O(n²) sliding-frame path (measured 18.8s → expected ~2s on 4M rows).
     w = (
         Window.partitionBy("conv_id")
         .orderBy("offset", F.desc("is_pron"), "text")
-        .rowsBetween(Window.unboundedPreceding, -1)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     lastk = lambda cond: F.last(F.when(cond & ~is_pron, F.col("key")), ignorenulls=True).over(w)
     last_person = lastk(F.col("entity_type") == "PERSON")
