@@ -3,12 +3,23 @@
 
 The reference checkpoints by Java-serializing every document to a
 ``<docId>.bin`` between phases (main/KbpDocSerializer.scala:29-85) and
-"resumes" by re-reading the directory. Ours is the idiomatic-Spark
-replacement: each stage writes a columnar table hash-bucketed on
-conv_id, a ``lineage`` table records (stage, partition/bucket, run_id,
-input fingerprint, row count, wall ms) per completed bucket, and a
-resumed run anti-joins its input's buckets against lineage so only
-unfinished buckets recompute.
+"resumes" by re-reading the directory; each ``.bin`` is overwrite-
+idempotent. Ours is the idiomatic-Spark replacement with the same
+idempotency guarantee at bucket granularity:
+
+- each stage writes a columnar table hash-bucketed on conv_id using
+  DYNAMIC PARTITION OVERWRITE — re-writing a bucket REPLACES it, so a
+  run killed between the data write and the lineage write leaves buckets
+  that the resume simply overwrites (never appends → no duplicates);
+- a ``lineage`` table records (stage, bucket, run_id, input fingerprint,
+  row count, wall ms) for EVERY ATTEMPTED bucket — including buckets
+  whose output is legitimately empty (row_count 0), so resume's all-done
+  short-circuit fires even for empty buckets;
+- lineage is computed from the buckets just written (partition-pruned,
+  column-pruned read of the key column only — O(written buckets), never
+  a full-table rescan) and the input fingerprint from the batch's INPUT;
+- ``read_stage`` exposes only lineage-committed buckets, so data whose
+  lineage write never landed is invisible until the resume replaces it.
 
 In production these are Iceberg tables (``partitionedBy(bucket(N,
 conv_id))``, lineage keyed by snapshot id). This environment has no
@@ -20,7 +31,6 @@ else changes.
 
 from __future__ import annotations
 
-import json
 import os
 import time
 import uuid
@@ -35,6 +45,21 @@ def with_bucket(df: DataFrame, key: str = "conv_id", buckets: int = 32) -> DataF
     """Stable hash-bucket column — the bucket(N, conv_id) partition
     transform. xxhash64 is deterministic across runs and executors."""
     return df.withColumn(BUCKET_COL, F.pmod(F.xxhash64(key), F.lit(buckets)).cast("int"))
+
+
+def _bucket_stats(df_with_bucket: DataFrame, key: str) -> dict[int, tuple[int, str]]:
+    """{bucket: (row_count, fingerprint_hex)} — one column-pruned agg.
+    bit_xor of xxhash64(key) is order-independent and never overflows."""
+    rows = (
+        df_with_bucket.groupBy(BUCKET_COL)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.expr(f"bit_xor(xxhash64({key}))").alias("fp"))
+        .collect()
+    )
+    return {
+        int(r[BUCKET_COL]): (int(r["n"]), format(r["fp"] & 0xFFFFFFFFFFFFFFFF, "x"))
+        for r in rows
+    }
 
 
 class StageStore:
@@ -58,35 +83,46 @@ class StageStore:
 
     # ------------------------------------------------------------ write
     def write_stage(self, stage: str, df: DataFrame, key: str = "conv_id",
-                    run_id: str | None = None, only_buckets: list[int] | None = None) -> str:
-        """Write (append) a stage table bucketed on ``key``; record one
-        lineage row per bucket written. Returns the run_id."""
+                    run_id: str | None = None, only_buckets: list[int] | None = None,
+                    input_fps: dict[int, str] | None = None) -> str:
+        """Write a stage table bucketed on ``key`` with dynamic partition
+        overwrite (idempotent per bucket); record one lineage row per
+        ATTEMPTED bucket (``only_buckets`` if given, else all) — buckets
+        that produced no rows get row_count 0, so resume never retries
+        them. ``input_fps`` carries the per-bucket INPUT fingerprints
+        (run_resumable computes them); without it the fingerprint of the
+        written output is recorded. Returns the run_id."""
         run_id = run_id or uuid.uuid4().hex[:12]
+        attempted = sorted(only_buckets) if only_buckets is not None else list(range(self.buckets))
         t0 = time.time()
         b = with_bucket(df, key, self.buckets)
         if only_buckets is not None:
-            b = b.where(F.col(BUCKET_COL).isin(only_buckets))
-        b.write.mode("append").partitionBy(BUCKET_COL).parquet(self._path(stage))
+            b = b.where(F.col(BUCKET_COL).isin(attempted))
+        (
+            b.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(BUCKET_COL)
+            .parquet(self._path(stage))
+        )
         wall_ms = int((time.time() - t0) * 1000)
 
-        written = self.spark.read.parquet(self._path(stage))
-        counts = (
-            written.groupBy(BUCKET_COL)
-            .agg(F.count(F.lit(1)).alias("row_count"),
-                 # bit_xor: order-independent, never overflows (ANSI-safe)
-                 F.expr(f"bit_xor(xxhash64({key}))").alias("fp"))
+        # lineage from the just-written buckets only: partition-pruned to
+        # ``attempted`` and column-pruned to ``key`` — O(written), never a
+        # rescan of other runs' buckets.
+        written = self.spark.read.parquet(self._path(stage)).where(
+            F.col(BUCKET_COL).isin(attempted)
         )
-        if only_buckets is not None:
-            counts = counts.where(F.col(BUCKET_COL).isin(only_buckets))
-        lineage = counts.select(
-            F.lit(stage).alias("stage"),
-            F.col(BUCKET_COL).alias("partition_id"),
-            F.lit(run_id).alias("run_id"),
-            F.conv(F.abs(F.col("fp")).cast("string"), 10, 16).alias("input_fingerprint"),
-            F.col("row_count").cast("long"),
-            F.lit(wall_ms).cast("long").alias("wall_ms"),
-        )
-        lineage.write.mode("append").parquet(self._lineage_path())
+        stats = _bucket_stats(written, key)
+        rows = []
+        for bk in attempted:
+            n, out_fp = stats.get(bk, (0, "0"))
+            fp = (input_fps or {}).get(bk, out_fp)
+            rows.append((stage, bk, run_id, fp, n, wall_ms))
+        self.spark.createDataFrame(
+            rows,
+            "stage string, partition_id int, run_id string, "
+            "input_fingerprint string, row_count long, wall_ms long",
+        ).coalesce(1).write.mode("append").parquet(self._lineage_path())
         return run_id
 
     def record_metric(self, run_id: str, stage: str, metric: str, value: float) -> None:
@@ -96,8 +132,15 @@ class StageStore:
         ).write.mode("append").parquet(self._metrics_path())
 
     # ------------------------------------------------------------- read
-    def read_stage(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(stage)).drop(BUCKET_COL)
+    def read_stage(self, stage: str, committed_only: bool = True) -> DataFrame:
+        """The stage table, restricted to lineage-committed buckets:
+        data whose lineage write never landed (a kill between the two
+        writes) stays invisible until resume overwrites it."""
+        df = self.spark.read.parquet(self._path(stage))
+        if committed_only and os.path.exists(self._lineage_path()):
+            done = self.done_buckets(stage)
+            df = df.where(F.col(BUCKET_COL).isin(done))
+        return df.drop(BUCKET_COL)
 
     def lineage(self) -> DataFrame:
         return self.spark.read.parquet(self._lineage_path())
@@ -119,15 +162,21 @@ class StageStore:
                       key: str = "conv_id", run_id: str | None = None) -> DataFrame:
         """Compute ``fn(input)`` only for buckets lineage has not recorded
         for ``stage`` (resume = anti-join of partitions against lineage,
-        SURVEY.md §3 EP3), append results, return the full stage table."""
-        done = self.done_buckets(stage)
+        SURVEY.md §3 EP3), overwrite those buckets, return the full stage
+        table. Every remaining bucket gets a lineage row (row_count 0 for
+        empty ones), so the next resume short-circuits without reading
+        the input at all."""
+        done = set(self.done_buckets(stage))
+        remaining = [b for b in range(self.buckets) if b not in done]
+        if not remaining:
+            return self.read_stage(stage)
         src = with_bucket(input_df, key, self.buckets)
         if done:
-            src = src.where(~F.col(BUCKET_COL).isin(done))
-        todo = src.drop(BUCKET_COL)
-        if todo.isEmpty():
-            return self.read_stage(stage)
-        out = fn(todo)
-        remaining = [b for b in range(self.buckets) if b not in set(done)]
-        self.write_stage(stage, out, key=key, run_id=run_id, only_buckets=remaining)
+            src = src.where(~F.col(BUCKET_COL).isin(sorted(done)))
+        input_fps = {
+            bk: f"{n:x}:{fp}" for bk, (n, fp) in _bucket_stats(src, key).items()
+        }
+        out = fn(src.drop(BUCKET_COL))
+        self.write_stage(stage, out, key=key, run_id=run_id,
+                         only_buckets=remaining, input_fps=input_fps)
         return self.read_stage(stage)

@@ -54,6 +54,79 @@ def test_resume_equals_fresh_run(spark, tmp_path):
     assert "run3" not in runs  # nothing recomputed
 
 
+def test_lineage_no_full_table_rescan(spark, tmp_path):
+    """Lineage rows for a write reflect ONLY that write's buckets — never
+    a conflation with prior runs' buckets already in the directory."""
+    store = StageStore(spark, str(tmp_path / "cp"), buckets=8)
+    t = datagen.transcripts_df(spark, 240)
+    b = with_bucket(t, "conv_id", 8)
+    first = sorted(r._bucket for r in b.select("_bucket").distinct().collect())[:3]
+    rest = [x for x in range(8) if x not in first]
+    store.write_stage("s", t, run_id="runA", only_buckets=first)
+    store.write_stage("s", t, run_id="runB", only_buckets=rest)
+    lin = store.lineage().collect()
+    by_run = {}
+    for r in lin:
+        by_run.setdefault(r.run_id, []).append(r)
+    # runB's lineage covers exactly `rest` (incl. empties), not runA's buckets
+    assert sorted(r.partition_id for r in by_run["runB"]) == rest
+    # total committed rows across both runs == input rows (no conflation)
+    assert sum(r.row_count for r in lin) == 240
+    assert store.read_stage("s").count() == 240
+
+
+def test_crash_between_data_and_lineage_no_duplicates(spark, tmp_path):
+    """A run killed after the data write but before the lineage write must
+    not produce duplicate rows on resume: the bucket data is invisible to
+    read_stage (no lineage row) and the resume OVERWRITES it."""
+    import shutil
+
+    t = datagen.transcripts_df(spark, 240)
+
+    def fn(df):
+        return df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+
+    fresh = fn(t)
+    store = StageStore(spark, str(tmp_path / "cp"), buckets=8)
+    # simulate: full data write landed, lineage write never did
+    store.write_stage("agg", fn(t), run_id="killed")
+    shutil.rmtree(str(tmp_path / "cp" / "_lineage"))
+    # orphaned data is invisible until recommitted
+    assert store.done_buckets("agg") == []
+    resumed = store.run_resumable("agg", t, fn, run_id="resume")
+    assert resumed.exceptAll(fresh).isEmpty()
+    assert fresh.exceptAll(resumed).isEmpty()
+    assert resumed.count() == fresh.count()  # overwrite, not append
+
+
+def test_empty_buckets_get_lineage_and_short_circuit(spark, tmp_path):
+    """Buckets whose output is legitimately empty are recorded (row_count
+    0) so the next resume never recomputes them (ADVICE item: empty
+    buckets previously recomputed on every resume)."""
+    store = StageStore(spark, str(tmp_path / "cp"), buckets=8)
+    t = datagen.transcripts_df(spark, 240)
+
+    def fn(df):
+        # keep only the hot conversation: most buckets produce 0 rows
+        return df.where(F.col("conv_id") == "conv_hot")
+
+    store.run_resumable("hot", t, fn, run_id="r1")
+    lin = store.lineage().where(F.col("stage") == "hot").collect()
+    assert len(lin) == 8  # every attempted bucket recorded
+    assert sorted({r.partition_id for r in lin}) == list(range(8))
+    assert sum(1 for r in lin if r.row_count == 0) >= 1
+
+    calls = []
+
+    def poisoned(df):
+        calls.append(1)
+        return fn(df)
+
+    again = store.run_resumable("hot", t, poisoned, run_id="r2")
+    assert calls == []  # all-done short-circuit fired; input never re-read
+    assert again.count() == t.where(F.col("conv_id") == "conv_hot").count()
+
+
 def test_bucket_is_deterministic(spark):
     t = datagen.transcripts_df(spark, 80)
     a = with_bucket(t).select("conv_id", "_bucket").distinct()
