@@ -109,6 +109,48 @@ def _q_text_quality(spark, sf_dir):
     )
 
 
+def _dup_docs(spark, sf_dir):
+    """Controlled dedup fixture: documents ∪ a copy of every 7th doc under
+    a shifted id — guaranteed exact-dup pairs, derivable identically in
+    SQL (the base table has no duplicate texts)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = d.where(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    return d.unionByName(dups)
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH end-to-end recall check: identical texts MUST collide
+    in every band (identical signatures), so candidate generation at
+    threshold 1.0 followed by the standard exact-verify step must emit
+    exactly the exact-duplicate pairs."""
+    d = _dup_docs(spark, sf_dir)
+    cands = dedup.minhash_dedup(d, "doc_id", "text", threshold=1.0)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("t_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("t_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .where(F.col("t_a") == F.col("t_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    """SimHash banded-join recall check (hamming 0 ⊇ exact dups by
+    pigeonhole) + exact-verify, same oracle as minhash_pairs."""
+    d = _dup_docs(spark, sf_dir)
+    sims = dedup.simhash(d, "doc_id", "text")
+    cands = dedup.simhash_near_dups(sims, max_hamming=0)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("t_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("t_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .where(F.col("t_a") == F.col("t_b"))
+        .select("id_a", "id_b")
+    )
+
+
 def _q_interval_join(spark, sf_dir):
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     a = e.select(F.col("event_id").alias("a_id"), F.col("user_id").alias("u"), F.col("ts").alias("a_ts"))
@@ -221,6 +263,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": _q_fingerprints,
         "token_counts": _q_token_counts,
         "text_quality": _q_text_quality,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
         "interval_join": _q_interval_join,
         "window_topk": _q_window_topk,
         "broadcast_join": _q_broadcast_join,
@@ -309,6 +353,26 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_de >= n_fr THEN 'de'
                         ELSE 'fr' END AS lang_pred
             FROM s
+        """,
+        "minhash_pairs": """
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 7 = 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM docs2 a JOIN docs2 b ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "simhash_pairs": """
+            WITH docs2 AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 7 = 0
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM docs2 a JOIN docs2 b ON a.text = b.text AND a.doc_id < b.doc_id
         """,
         "interval_join": """
             SELECT a.event_id,

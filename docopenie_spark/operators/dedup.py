@@ -32,9 +32,14 @@ from pyspark.sql import functions as F
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """One row per distinct text: representative id (min), group size.
-    Representative choice is deterministic (min id), not first()."""
+    Representative choice is deterministic (min id), not first().
+
+    The groupBy key is md5(text), NOT the raw text — the shuffle carries a
+    16-byte digest instead of full document bytes (at 100 TB the raw-text
+    key IS the corpus). md5 is 128-bit; accidental collision probability
+    at 10^12 docs is ~10^-15 — far below hardware corruption rates."""
     return (
-        df.groupBy(F.col(text_col))
+        df.groupBy(F.md5(F.col(text_col)).alias("_h"))
         .agg(
             F.min(id_col).alias("rep_id"),
             F.count(F.lit(1)).alias("group_size"),
@@ -49,11 +54,11 @@ def exact_dedup_salted(df: DataFrame, id_col: str, text_col: str, salt: int = 8)
     to :func:`exact_dedup` by construction (min/sum are associative)."""
     partial = (
         df.withColumn("_salt", F.pmod(F.xxhash64(id_col), F.lit(salt)))
-        .groupBy(text_col, "_salt")
+        .groupBy(F.md5(F.col(text_col)).alias("_h"), F.col("_salt"))
         .agg(F.min(id_col).alias("_rep"), F.count(F.lit(1)).alias("_n"))
     )
     return (
-        partial.groupBy(text_col)
+        partial.groupBy("_h")
         .agg(F.min("_rep").alias("rep_id"), F.sum("_n").alias("group_size"))
         .select("rep_id", "group_size")
     )
@@ -71,51 +76,78 @@ def _shingles(text_col, k: int):
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, num_perm: int = 32, shingle_k: int = 5
 ) -> DataFrame:
-    """(id, sig: array<bigint>[num_perm]) — min over xxhash64(shingle, seed)."""
-    sh = _shingles(text_col, shingle_k)
-    sig = F.array(
-        *[F.array_min(F.transform(sh, lambda s, j=j: F.xxhash64(s, F.lit(j)))) for j in range(num_perm)]
+    """(id, sig: array<bigint>[num_perm]) — min over xxhash64(shingle, seed).
+
+    The shingle array is projected into its own column FIRST and the
+    num_perm array_min expressions reference that column: CollapseProject
+    refuses to inline a non-cheap expression with >1 reference, so the
+    sequence+substring shingling runs ONCE per row instead of num_perm
+    times (round-1 version recomputed it 32×)."""
+    shingled = df.select(
+        F.col(id_col).alias("id"), _shingles(text_col, shingle_k).alias("_sh")
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    sig = F.array(
+        *[
+            F.array_min(F.transform("_sh", lambda s, j=j: F.xxhash64(s, F.lit(j))))
+            for j in range(num_perm)
+        ]
+    )
+    return shingled.select("id", sig.alias("sig"))
 
 
 def minhash_candidates(sigs: DataFrame, bands: int = 8) -> DataFrame:
     """Banded LSH: split the signature into ``bands`` equal slices, bucket
-    on the hash of each slice, emit candidate pairs sharing any bucket."""
+    on the hash of each slice, emit candidate pairs sharing any bucket.
+
+    Shuffle shape: the band explode + self-join carries ONLY (band,
+    bucket, id) — signatures do not ride through every band (round-1
+    shipped the full 32-perm signature ``bands`` times). The estimate
+    joins the (much smaller) deduped pair set back to ``sigs`` — callers
+    doing both banding and estimation should persist ``sigs``
+    (:func:`minhash_dedup` does)."""
     rows_per_band = F.floor(F.size("sig") / bands).cast("int")
     banded = sigs.select(
         "id",
-        "sig",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("sig"),
     ).select(
         "id",
-        "sig",
         "band",
         F.xxhash64(
             F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band), F.col("band")
         ).alias("bucket"),
     )
-    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"))
     pairs = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    withsigs = (
+        pairs.join(sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+        .join(sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     )
     est = (
         F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda t: t))
         / F.size("sig_a")
     )
-    return pairs.select("id_a", "id_b", est.alias("jaccard_est"))
+    return withsigs.select("id_a", "id_b", est.alias("jaccard_est"))
 
 
 def minhash_dedup(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8,
     num_perm: int = 32, bands: int = 8, shingle_k: int = 5,
 ) -> DataFrame:
-    """Near-dup pairs with estimated jaccard >= threshold."""
-    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k)
+    """Near-dup pairs with estimated jaccard >= threshold. Signatures are
+    persisted because candidate generation and estimation both read them
+    (without it the shingling would recompute on the pair join-back)."""
+    from pyspark import StorageLevel
+
+    sigs = minhash_signatures(df, id_col, text_col, num_perm, shingle_k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return minhash_candidates(sigs, bands).where(F.col("jaccard_est") >= threshold)
 
 

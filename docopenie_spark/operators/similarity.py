@@ -65,28 +65,35 @@ def brute_force_topk(
     )
 
 
-def hyperplane_signature(vec_col, dims: int, planes: int = 16):
-    """Deterministic random-hyperplane bit signature as a JVM expression.
+def _plane_weights(dims: int, planes: int, table: int = 0) -> list[list[float]]:
+    """Deterministic hyperplane weight matrix, computed ONCE on the driver
+    (seeded crc32 — no RNG state, stable across runs/executors). Round 1
+    re-derived every weight per ROW via xxhash64(plane×dim) expressions —
+    pure wasted codegen work; the matrix is a model constant."""
+    import zlib
 
-    Plane p's weight for dimension d = (xxhash64(d*1000003 + p) % 1000) /
-    500 - 1 ∈ [-1, 1) — stable, no stored model, whole-stage codegen'd.
+    return [
+        [
+            (zlib.crc32(f"{table}:{p}:{d}".encode()) % 1000) / 500.0 - 1.0
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def hyperplane_signature(vec_col, dims: int, planes: int = 16, table: int = 0):
+    """Deterministic random-hyperplane bit signature as a JVM expression.
+    Weights are embedded as literal arrays (driver-computed constants);
+    for very high dims (≳4k) ship them as a broadcast weights table and
+    join instead — the bucket semantics are identical. ``table`` selects
+    an independent hash table for OR-ed multi-table probing.
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = []
-    for p in range(planes):
+    for p, w in enumerate(_plane_weights(dims, planes, table)):
+        wl = F.array(*[F.lit(x) for x in w])
         proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(dims - 1)),
-                    lambda d: (
-                        F.pmod(F.xxhash64(d * 1000003 + F.lit(p)), F.lit(1000)).cast("double")
-                        / 500.0
-                        - 1.0
-                    ),
-                ),
-                lambda x, w: x * w,
-            ),
+            F.zip_with(v, wl, lambda x, wv: x * wv),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -103,24 +110,45 @@ def lsh_topk(
     dims: int,
     k: int = 10,
     planes: int = 12,
+    tables: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Approximate cosine top-k: probe only the query's hyperplane bucket."""
-    sig = hyperplane_signature(F.col(vec_col).cast("array<double>"), dims, planes)
-    c = with_norm(corpus, vec_col).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).cast("array<double>").alias("_cv"),
-        F.col("_norm").alias("_cn"),
-        sig.alias("bucket"),
+    """Approximate cosine top-k: probe the query's hyperplane bucket in
+    ``tables`` independent hash tables (OR-ed — a candidate only needs to
+    collide in ONE table, the standard LSH recall lever; round 1 probed a
+    single table with uncontrolled recall). The corpus is scanned once:
+    buckets for all tables come from one projection, exploded to (table,
+    bucket) rows; the tiny query side is broadcast."""
+    sigs = F.array(
+        *[
+            hyperplane_signature(F.col(vec_col).cast("array<double>"), dims, planes, t)
+            for t in range(tables)
+        ]
     )
-    q = with_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("_qv"),
-        F.col("_norm").alias("_qn"),
-        sig.alias("bucket"),
+    c = (
+        with_norm(corpus, vec_col)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+            F.col("_norm").alias("_cn"),
+            F.posexplode(sigs).alias("table", "bucket"),
+        )
     )
-    j = c.join(F.broadcast(q), "bucket").where(F.col("vec_id") != F.col("query_id"))
+    q = (
+        with_norm(queries, vec_col)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qv"),
+            F.col("_norm").alias("_qn"),
+            F.posexplode(sigs).alias("table", "bucket"),
+        )
+    )
+    j = (
+        c.join(F.broadcast(q), ["table", "bucket"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
+    )
     cos = _dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

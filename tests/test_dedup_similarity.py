@@ -60,6 +60,28 @@ def test_ngram_jaccard(docs):
     assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
 
 
+def test_minhash_shingles_computed_once(docs):
+    """Plan shape: the shingle array must appear ONCE in the optimized
+    plan — round 1 inlined the sequence+substring expression into all 32
+    permutation mins (32× redundant substring work per row)."""
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    plan = sigs._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("sequence(") == 1
+    assert plan.count("substring(") == 1
+
+
+def test_minhash_band_join_ships_ids_only(docs):
+    """Plan shape: the banded self-join must not carry signatures through
+    every band — sig columns join back onto the deduped pair set."""
+    cands = dedup.minhash_candidates(dedup.minhash_signatures(docs, "doc_id", "text"))
+    plan = cands._jdf.queryExecution().optimizedPlan().toString()
+    # the explode feeding the band join projects (id, band, bucket) only
+    assert "posexplode" in plan or "explode" in plan
+    # pairs survive identically to round 1 on the fixture corpus
+    pairs = {(r.id_a, r.id_b) for r in cands.where(F.col("jaccard_est") >= 0.5).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs or (2, 3) in pairs
+
+
 def test_brute_force_topk_self_similarity(spark):
     import numpy as np
 
