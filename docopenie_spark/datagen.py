@@ -86,11 +86,22 @@ def _crc(s: str) -> int:
     return zlib.crc32(s.encode("utf-8")) & 0xFFFFFFFF
 
 
+_HOT_SHARD = 1 << 30  # turn_idx stays int32 (input_hint) at any scale
+
+
 def _conv_of_id(i: int, seed: int) -> tuple[str, int]:
-    """Closed-form (conv_id, turn_idx) for row id i."""
+    """Closed-form (conv_id, turn_idx) for row id i.
+
+    The hot conversation shards every 2^30 turns (conv_hot, conv_hot_1,
+    conv_hot_2, …) so turn_idx never overflows the input_hint's int32 —
+    at 10^12 rows the hot 10% becomes ~93 shard conversations, each still
+    enormously skewed. Below 2^30 hot turns the output is byte-identical
+    to the unsharded generator."""
     block, off = divmod(i, BLOCK)
     if off < HOT_PER_BLOCK:
-        return "conv_hot", block * HOT_PER_BLOCK + off
+        g = block * HOT_PER_BLOCK + off
+        shard, t = divmod(g, _HOT_SHARD)
+        return ("conv_hot" if shard == 0 else f"conv_hot_{shard}"), t
     j, t = divmod(off - HOT_PER_BLOCK, TURNS_PER_CONV)
     return f"conv{seed:02d}_{block:07d}_{j}", t
 

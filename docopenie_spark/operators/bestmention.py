@@ -515,8 +515,12 @@ def expand_with_coref(bems: DataFrame, clusters: DataFrame,
     new_rows = []
 
     if links is not None:
+        # the reference maps links onto clusters by link.offset == m.offset
+        # (DocumentExtractor.scala:119-121) against Stanford mentions that
+        # INCLUDE determiners; our mentions are NNP runs without them, so
+        # the aligned key is the cleaned-arg offset (first retained char)
         l = links.select(
-            F.col("conv_id").alias("l_conv"), F.col("offset").alias("l_off"),
+            F.col("conv_id").alias("l_conv"), F.col("clean_offset").alias("l_off"),
             F.col("name").alias("l_name"), F.col("id").alias("l_id"),
             F.col("types").alias("l_types"),
         )

@@ -16,9 +16,14 @@ Spark-first re-expression:
 - argmax per argument = row_number over a descending-score window —
   the reference's getBestEntity head-of-sorted-list.
 
-Arg cleaning (P7, Linker.scala:73-82): leading determiners and
-leading/trailing prepositions are stripped token-wise; the link offset is
-the CLEANED text's doc offset, as in the reference.
+Arg cleaning (P7, Linker.scala:73-82): exactly ONE leading token is
+dropped if it is a determiner/preposition, then exactly ONE trailing
+token likewise (``tokens.drop(1)`` / ``dropRight(1)`` — not a fixpoint).
+The CLEANED text is only the linker QUERY; the emitted link carries the
+ORIGINAL arg text and the original head offset (Linker.scala:153-160:
+``FreeBaseLink(ac.arg.text, offset, …)`` with offset from the arg's
+first token) — so link offsets equi-join exactly against mention/NER
+offsets downstream.
 """
 
 from __future__ import annotations
@@ -28,7 +33,12 @@ from pyspark.sql import functions as F
 
 from .tokenize import DETERMINERS, PREPOSITIONS
 
-_STRIP_LEAD = sorted(DETERMINERS | PREPOSITIONS)
+_STRIP_WORDS = sorted(DETERMINERS | PREPOSITIONS)
+# anchored → at most one leading / one trailing token stripped (drop(1) /
+# dropRight(1) parity); (?i) mirrors the reference's POS-based test which
+# is case-insensitive on the surface form
+_LEAD_PAT = r"(?i)^(?:%s)(?:\s+|$)" % "|".join(_STRIP_WORDS)
+_TRAIL_PAT = r"(?i)(?:^|\s+)(?:%s)$" % "|".join(_STRIP_WORDS)
 
 
 def exploded_args(triples_raw: DataFrame) -> DataFrame:
@@ -41,21 +51,19 @@ def exploded_args(triples_raw: DataFrame) -> DataFrame:
 
 
 def with_clean_arg(args: DataFrame) -> DataFrame:
-    """P7: drop leading determiners/prepositions (word-wise) and trailing
-    punctuation; track the offset shift so link offsets stay exact."""
-    words = F.split(F.col("text"), " ")
-    first = F.lower(F.element_at(words, 1))
-    strip_first = first.isin(*_STRIP_LEAD)
-    clean = F.when(strip_first, F.expr("substring(text, length(split(text,' ')[0]) + 2)")).otherwise(
-        F.col("text")
-    )
-    shift = F.when(strip_first, F.length(F.split(F.col("text"), " ")[0]) + 1).otherwise(F.lit(0))
+    """P7: drop ONE leading and ONE trailing determiner/preposition token
+    (Linker.scala:76-77). clean_offset is the doc offset of the first
+    RETAINED character, measured from the actual stripped length — robust
+    to multiple spaces between tokens."""
+    after_lead = F.regexp_replace(F.col("text"), _LEAD_PAT, "")
+    clean = F.regexp_replace(after_lead, _TRAIL_PAT, "")
+    shift = (F.length("text") - F.length(after_lead)).cast("long")
     return args.select(
         "conv_id",
         "text",
         "offset",
-        F.trim(clean).alias("clean_text"),
-        (F.col("offset") + shift.cast("long")).alias("clean_offset"),
+        clean.alias("clean_text"),
+        (F.col("offset") + shift).alias("clean_offset"),
     ).where(F.length("clean_text") > 0)
 
 
@@ -97,8 +105,12 @@ def links(
     return (
         j.select(
             "conv_id",
-            F.col("clean_text").alias("text"),
-            F.col("clean_offset").alias("offset"),
+            # the link carries the ORIGINAL arg text/offset; the cleaned
+            # form is the query key only (Linker.scala:153-160)
+            "text",
+            "offset",
+            "clean_text",
+            "clean_offset",
             "name",
             "id",
             score.alias("score"),

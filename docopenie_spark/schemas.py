@@ -132,8 +132,10 @@ CLUSTERS = StructType(
 LINKS = StructType(
     [
         StructField("conv_id", StringType(), False),
-        StructField("text", StringType(), False),
-        StructField("offset", LongType(), False),
+        StructField("text", StringType(), False),  # ORIGINAL arg text
+        StructField("offset", LongType(), False),  # original head offset
+        StructField("clean_text", StringType(), False),  # linker query key
+        StructField("clean_offset", LongType(), False),  # first retained char
         StructField("name", StringType(), False),
         StructField("id", StringType(), False),
         StructField("score", DoubleType(), False),

@@ -26,11 +26,41 @@ def test_links_threshold_and_argmax(spark):
 
 def test_arg_cleaning_drops_leading_determiner(spark):
     r = _result(spark)
-    # "the Central Analytics Bureau" must link to the dict entry whose key
-    # is the cleaned form; offset shifted past "the "
-    row = r.links.where(F.col("text") == "Central Analytics Bureau").first()
-    if row is not None:
-        assert row.name == "Central Analytics Bureau"
+    # "the Central Analytics Bureau" links via its cleaned form but the
+    # link carries the ORIGINAL text/offset (Linker.scala:153-160) with
+    # clean_offset shifted past "the "
+    row = r.links.where(F.col("text") == "the Central Analytics Bureau").first()
+    assert row is not None
+    assert row.name == "Central Analytics Bureau"
+    assert row.clean_text == "Central Analytics Bureau"
+    assert row.clean_offset == row.offset + len("the ")
+
+
+def test_with_clean_arg_one_leading_one_trailing(spark):
+    """Linker.scala:76-77: exactly ONE leading and ONE trailing det/prep
+    token stripped — not a fixpoint — with exact offset accounting."""
+    from docopenie_spark.operators.link import with_clean_arg
+
+    args = spark.createDataFrame(
+        [
+            ("c", "the Central Analytics Bureau", 10),
+            ("c", "in the Office", 50),          # only ONE leading strip
+            ("c", "the budget of", 100),          # leading + trailing
+            ("c", "of the", 200),                 # strips to empty → dropped
+            ("c", "Alice  Navarro", 300),         # untouched, double space kept
+        ],
+        "conv_id string, text string, offset long",
+    )
+    got = {r.text: r for r in with_clean_arg(args).collect()}
+    assert got["the Central Analytics Bureau"].clean_text == "Central Analytics Bureau"
+    assert got["the Central Analytics Bureau"].clean_offset == 14
+    assert got["in the Office"].clean_text == "the Office"
+    assert got["in the Office"].clean_offset == 53
+    assert got["the budget of"].clean_text == "budget"
+    assert got["the budget of"].clean_offset == 104
+    assert "of the" not in got  # emptied args are filtered
+    assert got["Alice  Navarro"].clean_text == "Alice  Navarro"
+    assert got["Alice  Navarro"].clean_offset == 300
 
 
 def test_substitution_canonicalizes_pronouns(spark):
