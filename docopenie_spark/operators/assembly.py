@@ -65,13 +65,10 @@ def doc_text(transcripts: DataFrame) -> DataFrame:
     )
 
 
-def doc_text_salted(transcripts: DataFrame, group: int = 64) -> DataFrame:
-    """Skew-safe two-level assembly: partial concat per
-    (conv_id, turn_idx // group), then ordered merge of the partials.
-    Same result as :func:`doc_text`; bounds per-record shuffle size for
-    hot conversations (the salting required by the north rule, axis B).
-    """
-    partial = (
+def _salted_parts(transcripts: DataFrame, group: int) -> DataFrame:
+    """(conv_id, salt, part_text) — partial ordered concat per
+    (conv_id, turn_idx // group); no record exceeds ~group·avg_turn chars."""
+    return (
         transcripts.withColumn("salt", (F.col("turn_idx") / F.lit(group)).cast("int"))
         .groupBy("conv_id", "salt")
         .agg(F.array_sort(F.collect_list(F.struct("turn_idx", "text"))).alias("_turns"))
@@ -81,8 +78,43 @@ def doc_text_salted(transcripts: DataFrame, group: int = 64) -> DataFrame:
             F.array_join(F.transform("_turns", lambda t: t["text"]), SEP).alias("part_text"),
         )
     )
+
+
+def doc_chunks(transcripts: DataFrame, group: int = 64, overlap: int = 200) -> DataFrame:
+    """Conversation text as BOUNDED chunk rows (schemas.DOC_CHUNKS) — the
+    scale-safe feed for the doc-scoped regex rules: the hot conversation
+    never materializes as one giant string row. Each chunk carries the
+    head of the next chunk as an overlap tail so regex matches crossing a
+    boundary are found exactly once (a match belongs to the chunk where
+    its local start < keep_len); matches longer than ``overlap`` chars
+    could be missed — the rule regexes are all far shorter."""
+    parts = _salted_parts(transcripts, group)
+    w = Window.partitionBy("conv_id").orderBy("salt")
+    piece = (F.length("part_text") + F.lit(1)).cast("long")
+    # running sum to CURRENT row minus own length — avoids the (…, -1)
+    # frame bound that takes Spark's O(n²) sliding-window path
+    chunk_off = F.sum(piece).over(w.rowsBetween(Window.unboundedPreceding, 0)) - piece
+    nxt = F.lead("part_text", 1).over(w)
+    chunk_text = F.when(
+        nxt.isNotNull(),
+        F.concat("part_text", F.lit(SEP), F.substring(nxt, 1, overlap)),
+    ).otherwise(F.col("part_text"))
+    return parts.select(
+        "conv_id",
+        chunk_off.alias("chunk_off"),
+        piece.alias("keep_len"),
+        chunk_text.alias("chunk_text"),
+    )
+
+
+def doc_text_salted(transcripts: DataFrame, group: int = 64) -> DataFrame:
+    """Skew-safe two-level assembly: partial concat per
+    (conv_id, turn_idx // group), then ordered merge of the partials.
+    Same result as :func:`doc_text`; bounds per-record shuffle size for
+    hot conversations (the salting required by the north rule, axis B).
+    """
     return (
-        partial.groupBy("conv_id")
+        _salted_parts(transcripts, group).groupBy("conv_id")
         .agg(F.array_sort(F.collect_list(F.struct("salt", "part_text"))).alias("_parts"))
         .select(
             "conv_id",

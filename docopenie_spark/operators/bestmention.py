@@ -4,34 +4,65 @@ engine — and the coref propagation in tool/document/DocumentExtractor.scala:11
 
 Rule engine, re-expressed rule-by-rule (semantics, not code):
 
-ORGANIZATION (ref :143-221):
-  O-a acronym expansion — an all-caps entity expands to the org candidate
-      whose capitalized-word initials spell the acronym; the doc-text
-      pattern "Full Name (ACR)" (regex ``\\([^)(]{0,15}ACR[^)(]{0,15}\\)``,
-      ref :143) is the anchor case.
-  O-b word suffix/prefix containment — entity words are a prefix or
-      suffix of a longer candidate's words (ref :191-208).
-  O-c char-prefix of a one-word candidate (ref :210-221).
-LOCATION (ref :276-362):
-  L-a "X, Container" NER-pair candidates (ref :276-294),
-  L-b gazetteer containment — "City" → "City, Province" (ref :295-309),
-  L-c doc-regex fallback ``(X|x),\\s?([A-Z]\\S+)[\\s.?!,]`` counting
-      container candidates and — replicating the reference VERBATIM,
-      SURVEY.md A4 — taking the LEAST frequent (sortBy(_._2).head,
-      ref :333-335), with state-abbreviation expansion (ref :228-272).
-PERSON (ref :375-416):
-  P-a word prefix/suffix containment against candidates < 4 words long,
+ORGANIZATION (ref :135-228):
+  O-a acronym matching — entered when the entity string is all-uppercase
+      OR the doc matches ``\\([^)(]{0,15}ACR[^)(]{0,15}\\)`` (ref :143-146,
+      the anchor regex is a TRIGGER only); a candidate matches when the
+      last |ACR| capitalized words of its name spell the acronym by first
+      letters, and is emitted renamed to the suffix starting at the first
+      occurrence of the first matching word (ref :147-157). Proximity head.
+  O-b word prefix/suffix containment (ref :192-208) — gated by
+      probablyOrganization: SKIPPED when the entity string occurs inside
+      any LOCATION candidate's name (ref :176-190). Head of the UNSORTED
+      candidate list = earliest occurrence in document order (ref :208).
+  O-c case-insensitive char-prefix of a longer ONE-word candidate
+      (ref :211-225). Proximity head.
+LOCATION (ref :273-362):
+  L-a sliding containment: at every start index of a candidate's words,
+      accept orig-words followed by "," OR "in"; filter <7 words and
+      isValidLocation; pick by proximity; expand via
+      expandAbbreviation∘locationCasing (ref :276-294,:356-361).
+  L-b container candidates: NER location candidates that gazetteer-
+      contain the entity (locationContainsLocation), excluding the entity
+      itself and "United States"; proximity head → ContainerBestMention
+      with bestMention = locationCasing(name + ", " + container)
+      (ref :295-309,:340-353). NO unconditional gazetteer lookup — the
+      container must be MENTIONED in the conversation.
+  L-c doc-regex fallback ``(X|x|X^)\\,\\s?([A-Z]\\S+)[\\s.?!,]`` with
+      expandAbbreviation + the locationContainsLocation filter; counts
+      per container and — replicating the reference VERBATIM, SURVEY.md
+      A4 — takes the LEAST frequent (sortBy(_._2).head, ref :333-335) →
+      ContainmentBestMention (ref :310-338).
+PERSON (ref :364-416):
+  P-a word prefix/suffix containment against candidates < 4 words long;
+      proximity head (ref :370-393).
   P-b conservative name-regex doc fallback
-      ``(\\.|(\\s[a-z]+\\s))([A-Z]\\w+\\s[A-Z]\\w+)(\\.|(\\s[a-z]+\\s))`` (ref :405).
-OTHER: try Org then Loc then Person (ref :113-125).
+      ``(\\.|(\\s[a-z]+\\s))([A-Z]\\w+\\s[A-Z]\\w+)(\\.|(\\s[a-z]+\\s))``,
+      keep hits whose name CONTAINS the entity string (substring,
+      ref :405-409), proximity head, count = 1/|distinct names|
+      (ref :410-413). Only when probablyPerson.
+OTHER: try Org, then Loc, then Person with probablyPerson=false
+      (ref :113-125).
 
-All candidate lists are sorted by |candidate.offset - entity.offset|
-(proximity; ref :129-132); candidate_count = 1/|distinct names| (ref :433).
+Deliberate divergences from the reference (documented for the parity
+claim): (1) ties in proximity picks break by (occurrence offset, display
+name, entity name) instead of the reference's unstable candidate-list
+order; (2) L-c counts per container NAME — the reference keys its count
+map on per-occurrence Entity values (offset included), which makes every
+count 1 and the "least frequent" head depend on Scala hash-map iteration
+order; ours is the deterministic version of the documented intent;
+(3) L-a expands candidate names BEFORE the distinct-count, so two raw
+strings expanding to the same form count once; (4) L-b excludes
+case-insensitive self-containers up front rather than demoting to
+identity after the pick.
 
-Execution shape: a cogrouped ``applyInPandas`` on conv_id over
-(entities, doc_text) — doc-scoped rules with zero per-row Python; the
-gazetteer ships as a broadcast variable (ref loads it as a process
-singleton, :611-637).
+Execution shape: the rule engine runs ONCE PER DISTINCT (conv_id,
+entity_type, name) in a cogrouped ``applyInPandas`` against CHUNKED doc
+text (bounded rows even for the hot conversation — assembly.doc_chunks);
+per-occurrence fan-out happens as a JVM hash join, with offset-dependent
+(multi-candidate) names re-resolved natively via nested array_min. The
+gazetteer ships as a broadcast variable (the reference loads it as a
+process singleton, :611-637).
 """
 
 from __future__ import annotations
@@ -74,8 +105,155 @@ def location_casing(s: str) -> str:
     return " ".join(w if "." in w else (w[:1].upper() + w[1:].lower()) for w in s.split())
 
 
-def _initials(name: str) -> str:
-    return "".join(w[0] for w in name.split() if w[:1].isupper())
+class ChunkedDoc:
+    """Conversation text as bounded chunks (conv text is unbounded for the
+    hot conversation — one giant string row is the 100×-scale killer).
+    Each chunk overlaps the next by a tail window so regex matches that
+    cross a boundary are found exactly once: a match belongs to the chunk
+    where it STARTS (local start < keep); matches starting in the overlap
+    region belong to the next chunk. Matches longer than the overlap
+    window (none of the rule regexes come close) could be missed."""
+
+    __slots__ = ("offs", "texts", "keeps")
+
+    def __init__(self, offs, texts, keeps):
+        self.offs = offs
+        self.texts = texts
+        self.keeps = keeps
+
+    @classmethod
+    def single(cls, text: str) -> "ChunkedDoc":
+        return cls([0], [text], [len(text) + 1])
+
+    def finditer(self, pat):
+        """Yield (chunk_abs_offset, match) — abs pos of group g is
+        chunk_abs_offset + m.start(g)."""
+        for off, txt, keep in zip(self.offs, self.texts, self.keeps):
+            for m in pat.finditer(txt):
+                if m.start() < keep:
+                    yield int(off), m
+
+    def search(self, pat):
+        for hit in self.finditer(pat):
+            return hit
+        return None
+
+
+class Gazetteer:
+    """The TipsterData analogue (ref :556-693) built from the synthesized
+    GAZETTEER rows (name, typ, container_name, container_typ, abbrev)."""
+
+    def __init__(self, rows):
+        self.cities: set[str] = set()
+        self.states: set[str] = set()
+        self.countries: set[str] = set()
+        self.province_city: dict[str, set[str]] = {}
+        self.country_city: dict[str, set[str]] = {}
+        self.abbrev: dict[str, str] = {}
+        city_state: dict[str, str] = {}
+        state_country: dict[str, str] = {}
+        for r in rows:
+            name, typ, cont = r[0], r[1], r[2]
+            ab = r[4] if len(r) > 4 else None
+            if typ == "CITY":
+                self.cities.add(name.lower())
+                if cont:
+                    self.province_city.setdefault(
+                        location_casing(cont), set()
+                    ).add(location_casing(name))
+                    city_state[name] = cont
+            elif typ == "PROVINCE":
+                self.states.add(name.lower())
+                if cont:
+                    state_country[name] = cont
+                if ab:
+                    self.abbrev[ab] = name
+            elif typ == "COUNTRY":
+                self.countries.add(name.lower())
+        for city, st in city_state.items():
+            c = state_country.get(st)
+            if c:
+                self.country_city.setdefault(
+                    location_casing(c), set()
+                ).add(location_casing(city))
+
+    # --- the reference's static helpers (ref :444-498, :645-689) -------
+    def location_contains_location(self, container: str, contained: str) -> bool:
+        if contained.lower() not in self.cities:
+            return False
+        if container.lower() in self.states:
+            cs = self.province_city.get(location_casing(container))
+            if cs and location_casing(contained) in cs:
+                return True
+        if container.lower() in self.countries:
+            cs = self.country_city.get(location_casing(container))
+            if cs and location_casing(contained) in cs:
+                return True
+        return False
+
+    def location_type_similarity(self, l1: str, l2: str) -> float:
+        return sum(
+            1.0
+            for s in (self.cities, self.states, self.countries)
+            if l1.lower() in s and l2.lower() in s
+        )
+
+    def same_location_type(self, l1: str, l2: str) -> bool:
+        return self.location_type_similarity(l1, l2) > 0
+
+    def total_count(self, s: str) -> float:
+        """Ambiguity count — entries named ``s`` across the three kinds
+        (ref totalCount :667; our synthesized gazetteer has one entry per
+        name per kind, so this is the membership count)."""
+        return float(
+            sum(1 for st in (self.cities, self.states, self.countries) if s.lower() in st)
+        )
+
+    _STATE_ABBREV = re.compile(r"(\w+),\s([A-Za-z])\.?([A-Za-z])\.?$")
+
+    def expand_state_abbreviation(self, abr: str, city: str) -> str | None:
+        state = self.abbrev.get(abr)
+        if not state:
+            return None
+        cities = self.province_city.get(location_casing(state))
+        if cities and city in cities:
+            return f"{city}, {state}"
+        return None
+
+    def expand_location(self, container: str) -> list[str]:
+        """States whose name starts with the (>2 char) container prefix —
+        the 'Mass.' → Massachusetts path (ref :229-246)."""
+        p = container[:-1] if container and not container[-1].isalpha() else container
+        if len(p) <= 2:
+            return []
+        return [location_casing(s) for s in sorted(self.states) if s.startswith(p.lower())]
+
+    def expand_abbreviation(self, s: str) -> str:
+        """'City, ST' / 'City, Mass.' → 'City, Statename' when the
+        gazetteer confirms containment (ref :248-272)."""
+        m = self._STATE_ABBREV.search(s)
+        if m:
+            abbr = (m.group(2) + m.group(3)).upper()
+            exp = self.expand_state_abbreviation(abbr, m.group(1))
+            return exp if exp else s
+        parts = s.split(",")
+        if len(parts) < 2:
+            return s
+        contained, container = parts[0].strip(), parts[1].strip()
+        for ex in self.expand_location(container):
+            if self.location_contains_location(ex, contained):
+                return f"{contained}, {ex}"
+        return s
+
+    def is_valid_location(self, loc: str) -> bool:
+        """Exactly 'X, Y' with Y containing X or X/Y of different kinds
+        (ref :418-425)."""
+        parts = [p.strip() for p in loc.split(",")]
+        if len(parts) != 2:
+            return False
+        return self.location_contains_location(parts[1], parts[0]) or not self.same_location_type(
+            parts[1], parts[0]
+        )
 
 
 def _as_index(cands) -> dict[str, list[int]]:
@@ -106,152 +284,260 @@ def _nearest_occ(offs: list[int], off: int) -> tuple[int, int]:
     return best
 
 
-def _pick(matching: dict[str, list[int]], off: int):
-    """Nearest-occurrence proximity selection over matching names —
-    reproduces the reference's sortBy(|cand.offset - entity.offset|) +
-    head (ref :129-132); count = 1/|distinct names| (ref :433).
+def _res(kind, best, ent, count, matches=None, contained=None):
+    """Rule result. ent/contained = (text, name, occurrence_offset);
+    matches = {disp: (ent_name, sorted_offs)} when more than one candidate
+    name matched (the pick is then offset-dependent, ref :129-132)."""
+    return {
+        "kind": kind, "best": best, "ent": ent, "count": count,
+        "matches": matches, "contained": contained,
+    }
 
-    The chosen NAME depends on the entity's offset only when more than
-    one candidate name matches — resolve_conversation memoizes the
-    single-candidate case per (type, name), which collapses the hot
-    conversation's 400k-entity loop to ~|distinct names| rule runs."""
-    if not matching:
-        return None
-    best = min(
-        ((_nearest_occ(offs, off), n) for n, offs in matching.items()),
-        key=lambda t: (t[0][0], t[0][1], t[1]),
+
+def _pick(kind: str, matching: dict, off: int):
+    """Nearest-occurrence proximity selection — reproduces the reference's
+    sortBy(|cand.offset - entity.offset|).head (ref :129-132); count =
+    1/|distinct names| (ref :433). Tie order (distance, occurrence, disp,
+    ent) matches the native dep-path array_min EXACTLY."""
+    norm = {d: (e, sorted(o)) for d, (e, o) in matching.items()}
+    (dist, occ), disp, ent = min(
+        ((_nearest_occ(offs, off)), d, e) for d, (e, offs) in norm.items()
     )
-    (dist, occ), n = best
-    return n, (n, occ), 1.0 / len(matching), matching
+    ent_ref = (ent, disp, occ) if kind == "full" else (ent, ent, occ)
+    matches = norm if len(norm) > 1 else None
+    return _res(kind, disp, ent_ref, 1.0 / len(norm), matches)
 
 
-def _offset_independent(res) -> bool:
-    """True when a rule result cannot vary with the entity's offset:
-    no candidate occurrence involved, or candidate_count == 1.0 (a single
-    matching name — the nearest occurrence may differ but the resolved
-    NAME and kind cannot)."""
-    return res is None or res[1] is None or res[2] == 1.0
+# ------------------------------------------------------------- rules
 
-
-def _matching_of(res):
-    """The matching-candidates dict a _pick-based result saw (4th slot);
-    regex-fallback results have no candidate set."""
-    return res[3] if res is not None and len(res) > 3 else None
-
-
-def best_org(name: str, off: int, org_cands, doc: str, memo: dict | None = None):
-    """O-a/O-b/O-c; returns (best_name, (cand_name, cand_off)|None, count)."""
+def best_org(name: str, off: int, org_cands, loc_names, doc: ChunkedDoc,
+             memo: dict | None = None):
+    """O-a/O-b/O-c (ref :135-228). loc_names = LOCATION candidate names
+    for the probablyOrganization gate (ref :176-190)."""
     idx = _as_index(org_cands)
     words = name.split()
-    # O-a: acronym expansion
-    if len(words) == 1 and name.isupper() and len(name) >= 2:
-        matching = {n: o for n, o in idx.items() if n != name and _initials(n) == name}
-        if matching:
-            return _pick(matching, off)
-        # doc anchor "… Full Name (ACR) …" — name-dependent only: memoize
-        key = ("org_regex", name)
-        if memo is None or key not in (memo or {}):
-            m = re.search(
-                r"((?:[A-Z][\w.&-]*\s+){1,6})\(\s*" + re.escape(name) + r"\s*\)", doc
-            )
-            full = m.group(1).strip() if m else None
-            res = (full, None, 1.0) if full and _initials(full) == name else None
-            if memo is not None:
-                memo[key] = res
+    # O-a trigger: all-uppercase (Scala forall(isUpper): every char) OR
+    # the doc anchor regex (ref :143-146)
+    trigger = bool(name) and all(c.isupper() for c in name)
+    if not trigger:
+        key = ("org_anchor", name)
+        if memo is not None and key in memo:
+            trigger = memo[key]
         else:
-            res = memo[key]
-        if res:
-            return res
-    # O-b: word prefix/suffix containment
-    matching = {}
-    for n, o in idx.items():
-        cw = n.split()
-        if len(cw) > len(words) and (cw[: len(words)] == words or cw[-len(words):] == words):
-            matching[n] = o
-    if matching:
-        return _pick(matching, off)
-    # O-c: char-prefix of one-word candidate
-    if len(words) == 1:
-        matching = {
-            n: o for n, o in idx.items()
-            if " " not in n and len(n) > len(name) and n.startswith(name)
+            pat = re.compile(r"\([^)(]{0,15}" + re.escape(name) + r"[^)(]{0,15}\)")
+            trigger = doc.search(pat) is not None
+            if memo is not None:
+                memo[key] = trigger
+    if trigger:
+        acr = {}
+        for n, offs in idx.items():
+            nw = n.split()
+            capw = [w for w in nw if w[:1].isupper()]
+            tail = capw[-len(name):]
+            if len(tail) < len(name):
+                continue
+            if any(w[0] != name[k] for k, w in enumerate(tail)):
+                continue
+            for i, cw in enumerate(nw):
+                if cw == tail[0]:
+                    disp = " ".join(nw[i:])
+                    prev = acr.get(disp)
+                    acr[disp] = (n, (prev[1] if prev else []) + list(offs))
+        if acr:
+            return _pick("full", acr, off)
+    # probablyOrganization gate: the entity string inside any LOCATION
+    # candidate name means this is probably a location (ref :176-190)
+    if not any(name in ln for ln in loc_names):
+        # O-b: head of the UNSORTED candidate list = earliest occurrence
+        # in document order (ref :192-208) — offset-INDEPENDENT
+        m2 = {
+            n: offs
+            for n, offs in idx.items()
+            if len(n.split()) > len(words)
+            and (n.split()[: len(words)] == words or n.split()[-len(words):] == words)
         }
-        if matching:
-            return _pick(matching, off)
+        if m2:
+            disp = min(m2, key=lambda n: (m2[n][0], n))
+            return _res("full", disp, (disp, disp, m2[disp][0]), 1.0 / len(m2))
+    # O-c: case-insensitive char-prefix of a longer one-word candidate
+    # (ref :211-225)
+    m3 = {
+        n: (n, offs)
+        for n, offs in idx.items()
+        if " " not in n and len(n) > len(name) and n.lower().startswith(name.lower())
+    }
+    if m3:
+        return _pick("full", m3, off)
     return None
 
 
-def best_loc(name: str, off: int, loc_cands, doc: str,
-             gaz_container: dict, abbrev_state: dict, memo: dict | None = None):
+def _loc_tokens(n: str) -> list[str]:
+    """Candidate name words with attached commas split into their own
+    tokens (Stanford-style tokenization, which the reference's word
+    tests assume: ``words(L) == ","``)."""
+    out = []
+    for w in n.split():
+        if len(w) > 1 and w.endswith(","):
+            out.append(w[:-1])
+            out.append(",")
+        else:
+            out.append(w)
+    return out
+
+
+def best_loc(name: str, off: int, loc_cands, doc: ChunkedDoc, gaz: Gazetteer,
+             memo: dict | None = None):
     idx = _as_index(loc_cands)
-    words = name.split()
-    if len(words) != 1:
-        return None
-    # L-a: a sibling NER location already of the form "name, Container"
-    matching = {n: o for n, o in idx.items() if n.startswith(name + ",")}
-    if matching:
-        return _pick(matching, off)
-    # L-b: gazetteer containment
-    cont = gaz_container.get(name)
-    if cont:
-        return f"{name}, {location_casing(cont)}", None, 1.0
-    # L-c: doc-regex container counting — LEAST frequent, verbatim A4;
-    # name-dependent only → memoized per conversation
+    words_l = [w.lower() for w in name.split()]
+    L = len(words_l)
+    # L-a: sliding containment at every start index (ref :276-294)
+    la: dict = {}
+    for n, offs in idx.items():
+        toks = _loc_tokens(n)
+        for i in range(max(0, len(toks) - 1)):
+            rest = toks[i:]
+            if (
+                len(rest) > L + 1
+                and [w.lower() for w in rest[:L]] == words_l
+                and rest[L] in (",", "in")
+            ):
+                new = " ".join(rest[:L]) + ", " + " ".join(rest[L + 1:])
+                if len(new.split()) < 7 and gaz.is_valid_location(new):
+                    disp = gaz.expand_abbreviation(location_casing(new))
+                    prev = la.get(disp)
+                    la[disp] = (n, (prev[1] if prev else []) + list(offs))
+    if la:
+        return _pick("full", la, off)
+    # L-b: mentioned container candidates (ref :295-309, :340-353) — the
+    # container must be an NER location candidate IN the conversation
+    lb = {}
+    for n, offs in idx.items():
+        if n.lower() == name.lower() or n == "United States":
+            continue
+        if gaz.location_contains_location(n, name):
+            lb[location_casing(f"{name}, {n}")] = (n, list(offs))
+    if lb:
+        return _pick("container", lb, off)
+    # L-c: doc-regex containment fallback (ref :310-338); name-dependent
+    # only → memoized per conversation
     key = ("loc_regex", name)
     if memo is not None and key in memo:
         return memo[key]
+    q = name.replace("(", "").replace(")", "")
     pat = re.compile(
-        r"(?:%s|%s),\s?([A-Z]\S+?)[\s.?!,]" % (re.escape(name), re.escape(name.lower()))
+        "(%s|%s|%s),\\s?([A-Z]\\S+)[\\s.?!,]"
+        % (re.escape(q), re.escape(q.lower()), re.escape(q.upper()))
     )
-    counts: dict[str, int] = {}
-    for m in pat.finditer(doc):
-        c = m.group(1).rstrip(".,!?")
-        c = abbrev_state.get(c, c)
-        counts[c] = counts.get(c, 0) + 1
+    counts: dict[tuple, list] = {}
+    for coff, m in doc.finditer(pat):
+        contained_raw, container_raw = m.group(1), m.group(2)
+        full = gaz.expand_abbreviation(
+            location_casing(contained_raw + ", " + container_raw)
+        ).split(",")
+        if len(full) < 2:
+            continue
+        ced_name, cont_name = full[0].strip(), full[1].strip()
+        if not gaz.location_contains_location(cont_name, ced_name):
+            continue
+        k2 = (container_raw, cont_name)
+        if k2 in counts:
+            counts[k2][0] += 1
+        else:
+            counts[k2] = [1, coff + int(m.start(2)), contained_raw, coff + int(m.start(1))]
     res = None
     if counts:
-        least = sorted(counts.items(), key=lambda kv: (kv[1], kv[0]))[0][0]
-        res = (f"{name}, {location_casing(least)}", None, 1.0 / len(counts))
+        (container_raw, cont_name), (cnt, c_off, ced_raw, ced_off) = sorted(
+            counts.items(), key=lambda kv: (kv[1][0], kv[0])
+        )[0]
+        # identity demotion (ref :329-334): container equal to the entity
+        # or to the contained string
+        if (
+            name.lower() != container_raw.lower()
+            and ced_raw.lower() != container_raw.lower()
+        ):
+            res = _res(
+                "containment",
+                f"{ced_raw}, {cont_name}",
+                (container_raw, cont_name, c_off),
+                1.0 / len({k[1] for k in counts}),
+                contained=(ced_raw, ced_raw, ced_off),
+            )
     if memo is not None:
         memo[key] = res
     return res
 
 
-def best_person(name: str, off: int, per_cands, doc: str, memo: dict | None = None):
+_PERSON_REGEX = re.compile(r"(\.|(\s[a-z]+\s))([A-Z]\w+\s[A-Z]\w+)(\.|(\s[a-z]+\s))")
+
+
+def best_person(name: str, off: int, per_cands, doc: ChunkedDoc,
+                memo: dict | None = None, probably_person: bool = True):
     idx = _as_index(per_cands)
     words = name.split()
-    matching = {}
-    for n, o in idx.items():
-        cw = n.split()
-        if len(words) < len(cw) < 4 and (cw[: len(words)] == words or cw[-len(words):] == words):
-            matching[n] = o
-    if matching:
-        return _pick(matching, off)
-    # P-b: conservative name-regex fallback (ref :405); memoized per name
-    if len(words) == 1:
-        key = ("per_regex", name)
-        if memo is not None and key in memo:
-            return memo[key]
-        res = None
-        for m in re.finditer(r"(?:\.|\s[a-z]+\s)([A-Z]\w+\s[A-Z]\w+)(?=\.|\s[a-z]+\s)", doc):
-            full = m.group(1)
-            if words[0] in full.split() and full != name:
-                res = (full, None, 0.5)
-                break
-        if memo is not None:
-            memo[key] = res
-        return res
+    pa = {}
+    for n, offs in idx.items():
+        nw = n.split()
+        if (
+            len(words) < len(nw) < 4
+            and (nw[: len(words)] == words or nw[-len(words):] == words)
+        ):
+            pa[n] = (n, offs)
+    if pa:
+        return _pick("full", pa, off)
+    # P-b: conservative name regex (ref :395-413), only when probablyPerson;
+    # the raw hit list is name-independent → scanned once per conversation
+    if probably_person:
+        if memo is not None and ("per_all",) in memo:
+            hits = memo[("per_all",)]
+        else:
+            hits = [
+                (m.group(3), coff + int(m.start(3)))
+                for coff, m in doc.finditer(_PERSON_REGEX)
+            ]
+            if memo is not None:
+                memo[("per_all",)] = hits
+        pb: dict = {}
+        for nm, start in hits:
+            if name in nm:  # SUBSTRING containment (ref :409)
+                prev = pb.get(nm)
+                pb[nm] = (nm, (prev[1] if prev else []) + [start])
+        if pb:
+            return _pick("full", pb, off)
     return None
 
 
-def resolve_conversation(ents: pd.DataFrame, doc: str,
-                         gaz_container: dict, abbrev_state: dict) -> list[tuple]:
-    """All entities of one conversation → best-mention rows (T11).
+def _resolve_one(name: str, off: int, typ: str, by_type: dict, doc: ChunkedDoc,
+                 gaz: Gazetteer, memo: dict):
+    """Type dispatch + the OTHER cascade (ref :106-127)."""
+    loc_cands = by_type.get("LOCATION", {})
+    if typ == "ORGANIZATION":
+        return best_org(name, off, by_type.get("ORGANIZATION", {}), loc_cands, doc, memo)
+    if typ == "LOCATION":
+        return best_loc(name, off, loc_cands, doc, gaz, memo)
+    if typ == "PERSON":
+        return best_person(name, off, by_type.get("PERSON", {}), doc, memo, True)
+    return (
+        best_org(name, off, by_type.get("ORGANIZATION", {}), loc_cands, doc, memo)
+        or best_loc(name, off, loc_cands, doc, gaz, memo)
+        or best_person(name, off, by_type.get("PERSON", {}), doc, memo, False)
+    )
 
-    Candidates are indexed once per conversation as {name: sorted offs};
-    doc-regex fallbacks memoize per (rule, name) — together these keep the
-    hot conversation (10% of all turns in one group) near-linear instead
-    of O(entities²)."""
+
+def _entity_ref(t, typ):
+    if t is None:
+        return None
+    return {"text": t[0], "offset": int(t[2]), "name": t[1], "entity_type": typ}
+
+
+_BEM_COLS = ["conv_id", "kind", "target", "best_mention", "best_entity",
+             "container_entity", "contained_entity", "candidate_count", "cluster_id"]
+
+
+def resolve_conversation(ents: pd.DataFrame, doc: ChunkedDoc,
+                         gaz: Gazetteer) -> list[tuple]:
+    """All entities of one conversation → best-mention rows (T11),
+    PER-OCCURRENCE (the parity-reference path). Offset-independent
+    resolutions memoize per (type, name)."""
     conv_id = ents["conv_id"].iloc[0]
     by_type: dict[str, dict[str, list[int]]] = {}
     for r in ents.itertuples():
@@ -260,23 +546,7 @@ def resolve_conversation(ents: pd.DataFrame, doc: str,
         for v in d.values():
             v.sort()
     memo: dict = {}
-    full_memo: dict = {}  # (typ, name) → res, when offset-independent
-
-    def _resolve(name: str, off: int, typ: str):
-        if typ == "ORGANIZATION":
-            return best_org(name, off, by_type.get("ORGANIZATION", {}), doc, memo)
-        if typ == "LOCATION":
-            return best_loc(name, off, by_type.get("LOCATION", {}), doc,
-                            gaz_container, abbrev_state, memo)
-        if typ == "PERSON":
-            return best_person(name, off, by_type.get("PERSON", {}), doc, memo)
-        # OTHER: org → loc → person cascade (ref :113-125)
-        return (
-            best_org(name, off, by_type.get("ORGANIZATION", {}), doc, memo)
-            or best_loc(name, off, by_type.get("LOCATION", {}), doc,
-                        gaz_container, abbrev_state, memo)
-            or best_person(name, off, by_type.get("PERSON", {}), doc, memo)
-        )
+    full_memo: dict = {}
 
     rows = []
     for r in ents.itertuples():
@@ -285,43 +555,36 @@ def resolve_conversation(ents: pd.DataFrame, doc: str,
         if fkey in full_memo:
             res = full_memo[fkey]
         else:
-            res = _resolve(name, off, typ)
-            # memoize only when the resolved name cannot vary with offset
-            # (single matching candidate); best_entity's occurrence offset
-            # is metadata and may pin to this entity's nearest occurrence
-            if _offset_independent(res):
-                full_memo[fkey] = res
+            res = _resolve_one(name, off, typ, by_type, doc, gaz, memo)
+            if res is None or res["matches"] is None:
+                full_memo[fkey] = res  # cannot vary with offset
         target = {"text": r.text, "offset": off, "name": name, "entity_type": typ}
-        if res is None or res[0] == name:
-            rows.append((conv_id, "identity", target, name, None, 1.0, None))
-        else:
-            best_name, cand, count = res[0], res[1], res[2]
-            best_entity = None
-            kind = "full"
-            if cand is not None:
-                best_entity = {"text": cand[0], "offset": cand[1],
-                               "name": cand[0], "entity_type": typ}
-            rows.append((conv_id, kind, target, best_name, best_entity, count, None))
+        if res is None or res["best"] == name:
+            rows.append((conv_id, "identity", target, name, None, None, None, 1.0, None))
+            continue
+        kind = res["kind"]
+        loc_typ = "LOCATION"
+        be = _entity_ref(res["ent"], typ) if kind == "full" else None
+        ce = _entity_ref(res["ent"], loc_typ) if kind in ("container", "containment") else None
+        cde = _entity_ref(res["contained"], loc_typ) if kind == "containment" else None
+        rows.append((conv_id, kind, target, res["best"], be, ce, cde, res["count"], None))
     return rows
 
 
 def best_mentions_python(entities: DataFrame, docs: DataFrame,
                          gazetteer_rows: list[tuple]) -> DataFrame:
-    """Per-occurrence cogrouped variant (parity reference): every entity
-    occurrence flows through Python. Kept for the parity test."""
+    """Per-occurrence cogrouped variant over the FULL doc string (parity
+    reference): every entity occurrence flows through Python. Kept for
+    the parity tests (join-based and chunked paths must match it)."""
     spark = entities.sparkSession
-    gaz_container = {r[0]: r[2] for r in gazetteer_rows if r[2]}
-    abbrev_state = {r[4]: r[0] for r in gazetteer_rows if len(r) > 4 and r[4]}
-    b_gaz = spark.sparkContext.broadcast((gaz_container, abbrev_state))
+    b_gaz = spark.sparkContext.broadcast(Gazetteer(gazetteer_rows))
 
     def run(ents: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["conv_id", "kind", "target", "best_mention", "best_entity",
-                "candidate_count", "cluster_id"]
         if ents.empty or dpdf.empty:
-            return pd.DataFrame([], columns=cols)
-        gc, ab = b_gaz.value
-        rows = resolve_conversation(ents, dpdf["doc_text"].iloc[0], gc, ab)
-        return pd.DataFrame(rows, columns=cols)
+            return pd.DataFrame([], columns=_BEM_COLS)
+        doc = ChunkedDoc.single(dpdf["doc_text"].iloc[0])
+        rows = resolve_conversation(ents, doc, b_gaz.value)
+        return pd.DataFrame(rows, columns=_BEM_COLS)
 
     return (
         entities.groupBy("conv_id")
@@ -330,95 +593,90 @@ def best_mentions_python(entities: DataFrame, docs: DataFrame,
     )
 
 
+_ENT_REF_DDL = "struct<text:string,offset:bigint,name:string,entity_type:string>"
 _RESOLVED = (
     "conv_id string, entity_type string, name string, kind string, "
     "best_mention string, "
-    "best_entity struct<text:string,offset:bigint,name:string,entity_type:string>, "
+    f"best_entity {_ENT_REF_DDL}, "
+    f"container_entity {_ENT_REF_DDL}, "
+    f"contained_entity {_ENT_REF_DDL}, "
     "candidate_count double, dep boolean, "
-    "matches array<struct<name:string,offs:array<bigint>>>"
+    "matches array<struct<disp:string,ent:string,offs:array<bigint>>>"
 )
 
 
-def best_mentions(entities: DataFrame, docs: DataFrame,
+def best_mentions(entities: DataFrame, doc_chunks: DataFrame,
                   gazetteer_rows: list[tuple]) -> DataFrame:
-    """(ENTITIES, (conv_id, doc_text)) → BEST_MENTIONS.
+    """(ENTITIES, doc chunks) → BEST_MENTIONS.
 
     Scale shape: the rule engine runs in Python ONCE PER DISTINCT
     (conv_id, entity_type, name) — ~30 rows per conversation even for the
     hot one — and the per-occurrence fan-out happens as a JVM hash join
     back onto the entities table. Occurrence rows never cross the Arrow
-    boundary (the per-occurrence variant measured 40.8s at 1M turns;
-    distinct names are ~0.02% of occurrences on the skewed corpus).
+    boundary. Doc text arrives as bounded CHUNKS (assembly.doc_chunks),
+    so no single row grows with conversation size.
 
     Offset-dependent resolutions (more than one matching candidate name —
     proximity decides per occurrence, ref :129-132) are detected in the
-    distinct pass and re-resolved per occurrence in a second, tiny
-    cogroup restricted to those names; such resolutions never take the
-    doc-regex fallbacks, so the second pass ships no doc text.
-    """
+    distinct pass and re-resolved per occurrence FULLY NATIVELY: the
+    matching set rides along as an array column and a nested
+    array_min(transform(...)) reproduces _pick's exact tie order
+    (distance, occurrence, display, entity) per occurrence. No explode,
+    no Python, no self-join."""
     spark = entities.sparkSession
-    gaz_container = {r[0]: r[2] for r in gazetteer_rows if r[2]}
-    abbrev_state = {r[4]: r[0] for r in gazetteer_rows if len(r) > 4 and r[4]}
-    b_gaz = spark.sparkContext.broadcast((gaz_container, abbrev_state))
+    b_gaz = spark.sparkContext.broadcast(Gazetteer(gazetteer_rows))
 
     distinct = entities.groupBy("conv_id", "entity_type", "name").agg(
         F.sort_array(F.collect_list("offset")).alias("offs"),
         F.min("offset").alias("rep_off"),
     )
 
-    def _by_type(names_pdf: pd.DataFrame) -> dict:
+    def _emit(conv_id, name, typ, res):
+        if res is None or res["best"] == name:
+            return (conv_id, typ, name, "identity", name,
+                    None, None, None, 1.0, False, None)
+        kind = res["kind"]
+        be = _entity_ref(res["ent"], typ) if kind == "full" else None
+        ce = _entity_ref(res["ent"], "LOCATION") if kind != "full" else None
+        cde = _entity_ref(res["contained"], "LOCATION") if kind == "containment" else None
+        dep = res["matches"] is not None
+        matches = None
+        if dep:
+            matches = [
+                {"disp": d, "ent": e, "offs": offs}
+                for d, (e, offs) in sorted(res["matches"].items())
+            ]
+        return (conv_id, typ, name, kind, res["best"], be, ce, cde,
+                res["count"], dep, matches)
+
+    def resolve_names(names_pdf: pd.DataFrame, chunks_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["conv_id", "entity_type", "name", "kind", "best_mention",
+                "best_entity", "container_entity", "contained_entity",
+                "candidate_count", "dep", "matches"]
+        if names_pdf.empty or chunks_pdf.empty:
+            return pd.DataFrame([], columns=cols)
+        gaz = b_gaz.value
+        c = chunks_pdf.sort_values("chunk_off")
+        doc = ChunkedDoc(
+            [int(o) for o in c["chunk_off"]],
+            list(c["chunk_text"]),
+            [int(k) for k in c["keep_len"]],
+        )
+        conv_id = names_pdf["conv_id"].iloc[0]
         by_type: dict[str, dict[str, list[int]]] = {}
         for r in names_pdf.itertuples():
             by_type.setdefault(r.entity_type, {})[r.name] = [int(o) for o in r.offs]
-        return by_type
-
-    def _res_row(name, typ, off, by_type, doc, gc, ab, memo):
-        if typ == "ORGANIZATION":
-            return best_org(name, off, by_type.get("ORGANIZATION", {}), doc, memo)
-        if typ == "LOCATION":
-            return best_loc(name, off, by_type.get("LOCATION", {}), doc, gc, ab, memo)
-        if typ == "PERSON":
-            return best_person(name, off, by_type.get("PERSON", {}), doc, memo)
-        return (
-            best_org(name, off, by_type.get("ORGANIZATION", {}), doc, memo)
-            or best_loc(name, off, by_type.get("LOCATION", {}), doc, gc, ab, memo)
-            or best_person(name, off, by_type.get("PERSON", {}), doc, memo)
-        )
-
-    def _emit(conv_id, name, typ, res):
-        if res is None or res[0] == name:
-            return (conv_id, typ, name, "identity", name, None, 1.0, False, None)
-        best_name, cand, count = res[0], res[1], res[2]
-        be = None
-        if cand is not None:
-            be = {"text": cand[0], "offset": cand[1], "name": cand[0], "entity_type": typ}
-        dep = cand is not None and count < 1.0
-        matches = None
-        if dep:
-            m = _matching_of(res) or {}
-            matches = [{"name": n, "offs": offs} for n, offs in sorted(m.items())]
-        return (conv_id, typ, name, "full", best_name, be, count, dep, matches)
-
-    def resolve_names(names_pdf: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
-        cols = ["conv_id", "entity_type", "name", "kind", "best_mention",
-                "best_entity", "candidate_count", "dep", "matches"]
-        if names_pdf.empty or dpdf.empty:
-            return pd.DataFrame([], columns=cols)
-        gc, ab = b_gaz.value
-        doc = dpdf["doc_text"].iloc[0]
-        conv_id = names_pdf["conv_id"].iloc[0]
-        by_type = _by_type(names_pdf)
         memo: dict = {}
         rows = [
             _emit(conv_id, r.name, r.entity_type,
-                  _res_row(r.name, r.entity_type, int(r.rep_off), by_type, doc, gc, ab, memo))
+                  _resolve_one(r.name, int(r.rep_off), r.entity_type, by_type, doc, gaz, memo))
             for r in names_pdf.itertuples()
         ]
         return pd.DataFrame(rows, columns=cols)
 
     resolved = (
         distinct.groupBy("conv_id")
-        .cogroup(docs.groupBy("conv_id"))
+        .cogroup(doc_chunks.groupBy("conv_id"))
         .applyInPandas(resolve_names, schema=_RESOLVED)
     )
 
@@ -434,44 +692,53 @@ def best_mentions(entities: DataFrame, docs: DataFrame,
         target,
         F.coalesce("best_mention", F.col("name")).alias("best_mention"),
         F.col("best_entity").cast(schemas.ENTITY_REF).alias("best_entity"),
+        F.col("container_entity").cast(schemas.ENTITY_REF).alias("container_entity"),
+        F.col("contained_entity").cast(schemas.ENTITY_REF).alias("contained_entity"),
         F.coalesce("candidate_count", F.lit(1.0)).alias("candidate_count"),
         F.lit(None).cast("int").alias("cluster_id"),
     )
 
-    # second pass — per-occurrence proximity for multi-candidate names,
-    # FULLY NATIVE: the matching-candidate set rides along as an array
-    # column and nested array_min(transform(...)) reproduces _pick's
-    # exact tie order (distance, occurrence offset, name) per occurrence.
-    # No explode, no Python, no self-join.
+    # second pass — per-occurrence proximity for multi-candidate names.
+    # inner pick per element is bound ONCE in a nested struct (Catalyst
+    # does not CSE inside lambda bodies), and the outer array_min orders
+    # lexicographically on ((distance, occurrence), display, entity) —
+    # exactly _pick's tie order.
     dep = joined.where(F.coalesce("dep", F.lit(False)))
 
-    inner = lambda m: F.array_min(
-        F.transform(
-            m["offs"],
-            lambda o: F.struct(
-                F.abs(o - F.col("offset")).alias("d"), o.alias("occ")
-            ),
-        )
-    )
     best = F.array_min(
         F.transform(
             "matches",
             lambda m: F.struct(
-                inner(m)["d"].alias("d"),
-                inner(m)["occ"].alias("occ"),
-                m["name"].alias("n"),
+                F.array_min(
+                    F.transform(
+                        m["offs"],
+                        lambda o: F.struct(
+                            F.abs(o - F.col("offset")).alias("d"), o.alias("occ")
+                        ),
+                    )
+                ).alias("pick"),
+                m["disp"].alias("disp"),
+                m["ent"].alias("ent"),
             ),
         )
     )
+    picked_full = F.struct(
+        best["ent"].alias("text"), best["pick"]["occ"].alias("offset"),
+        best["disp"].alias("name"), F.col("entity_type"),
+    ).cast(schemas.ENTITY_REF)
+    picked_container = F.struct(
+        best["ent"].alias("text"), best["pick"]["occ"].alias("offset"),
+        best["ent"].alias("name"), F.lit("LOCATION").alias("entity_type"),
+    ).cast(schemas.ENTITY_REF)
+    is_full = F.col("kind") == "full"
     dep_rows = dep.select(
         "conv_id",
-        F.lit("full").alias("kind"),
+        F.col("kind"),
         target,
-        best["n"].alias("best_mention"),
-        F.struct(
-            best["n"].alias("text"), best["occ"].alias("offset"),
-            best["n"].alias("name"), F.col("entity_type"),
-        ).cast(schemas.ENTITY_REF).alias("best_entity"),
+        best["disp"].alias("best_mention"),
+        F.when(is_full, picked_full).alias("best_entity"),
+        F.when(~is_full, picked_container).alias("container_entity"),
+        F.lit(None).cast(schemas.ENTITY_REF).alias("contained_entity"),
         (F.lit(1.0) / F.size("matches")).alias("candidate_count"),
         F.lit(None).cast("int").alias("cluster_id"),
     )
@@ -503,6 +770,9 @@ def expand_with_coref(bems: DataFrame, clusters: DataFrame,
     to the cluster's PRONOUN mentions through the XOR gate. Expressed as
     Spark joins + grouped aggregation (SURVEY.md J1/J2/A1) — the
     reference's O(M×L) nested loops become hash joins on (conv_id, offset).
+    Container/containment best mentions propagate like any other
+    (getUniquebestMentionsInCluster takes ALL bestMentions,
+    DocumentExtractor.scala:127-138).
     """
     m = clusters.select(
         "conv_id", "cluster_id", F.explode("mentions").alias("m")
@@ -547,6 +817,8 @@ def expand_with_coref(bems: DataFrame, clusters: DataFrame,
                 ).alias("target"),
                 _possessive_fix(F.col("l.l_name"), F.col("m_text")).alias("best_mention"),
                 F.lit(None).cast(schemas.ENTITY_REF).alias("best_entity"),
+                F.lit(None).cast(schemas.ENTITY_REF).alias("container_entity"),
+                F.lit(None).cast(schemas.ENTITY_REF).alias("contained_entity"),
                 F.lit(1.0).alias("candidate_count"),
                 F.col("cluster_id"),
             )
@@ -555,7 +827,9 @@ def expand_with_coref(bems: DataFrame, clusters: DataFrame,
     else:
         linked_clusters = None
 
-    b = bems.where(F.col("kind").isin("identity", "full")).select(
+    b = bems.where(
+        F.col("kind").isin("identity", "full", "container", "containment")
+    ).select(
         F.col("conv_id").alias("b_conv"), F.col("target.offset").alias("b_off"),
         "kind", "target", "best_mention", "best_entity", "candidate_count",
     )
@@ -597,6 +871,8 @@ def expand_with_coref(bems: DataFrame, clusters: DataFrame,
                 F.col("m_text"),
             ).alias("best_mention"),
             F.col("b.best_entity").alias("best_entity"),
+            F.lit(None).cast(schemas.ENTITY_REF).alias("container_entity"),
+            F.lit(None).cast(schemas.ENTITY_REF).alias("contained_entity"),
             F.col("b.candidate_count").alias("candidate_count"),
             F.col("cluster_id"),
         )

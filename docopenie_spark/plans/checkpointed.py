@@ -63,8 +63,8 @@ def run_checkpointed(
         store, "parsed", [transcripts],
         lambda t: fused.parsed_sentences(assembly.with_turn_offsets(t)), run_id,
     )
-    docs = _resumable(
-        store, "docs", [transcripts], lambda t: assembly.doc_text_salted(t), run_id
+    chunks = _resumable(
+        store, "doc_chunks", [transcripts], lambda t: assembly.doc_chunks(t), run_id
     )
     triples_raw = _resumable(
         store, "triples_raw", [parsed], lambda p: extract.triples_raw(p), run_id
@@ -80,7 +80,7 @@ def run_checkpointed(
         store, "links", [triples_raw], lambda tr: link.links(tr, entity_dict), run_id
     )
     bems = _resumable(
-        store, "best_mentions", [mentions, docs],
+        store, "best_mentions", [mentions, chunks],
         lambda m, d: bestmention.best_mentions(ner.split_mentions(m)[0], d, gaz_rows),
         run_id,
     )

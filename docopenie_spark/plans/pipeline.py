@@ -76,7 +76,10 @@ def run_pipeline(
         return df.persist(StorageLevel.MEMORY_AND_DISK) if cache else df
 
     turns = assembly.with_turn_offsets(transcripts)
-    docs = _p(assembly.doc_text_salted(transcripts))
+    docs = assembly.doc_text_salted(transcripts)  # full strings: tests/queries only
+    # the rule engine consumes BOUNDED chunks — the hot conversation never
+    # materializes as one row (assembly.doc_chunks)
+    chunks = _p(assembly.doc_chunks(transcripts))
     # fused segment+tokenize: ONE Python worker per task pipeline (see
     # operators/fused.py); persisting it cuts the UDF chain so extract
     # and NER each read cache with a single Python hop
@@ -93,7 +96,7 @@ def run_pipeline(
         ed = entity_dict if entity_dict is not None else datagen.entity_dict_df(spark)
         lk = _p(link.links(triples_raw, ed))
 
-    bems = _p(bestmention.best_mentions(ents, docs, gaz_rows))
+    bems = _p(bestmention.best_mentions(ents, chunks, gaz_rows))
     if with_coref_expansion:
         bems_x = bestmention.expand_with_coref(bems, cl, lk)
     else:

@@ -158,13 +158,29 @@ ENTITY_REF = StructType(
 BEST_MENTIONS = StructType(
     [
         StructField("conv_id", StringType(), False),
-        # identity|full|link|container|containment|coref|coref_identity|coref_full|coref_link
+        # identity|full|container|containment|coref|coref_identity|coref_full|coref_link
         StructField("kind", StringType(), False),
         StructField("target", ENTITY_REF, False),
         StructField("best_mention", StringType(), False),
-        StructField("best_entity", ENTITY_REF, True),
+        StructField("best_entity", ENTITY_REF, True),  # kind=full
+        # ContainerBestMention/ContainmentBestMention provenance
+        # (repr/bestmention/ResolvedBestEntityMention.scala:100-121)
+        StructField("container_entity", ENTITY_REF, True),  # container|containment
+        StructField("contained_entity", ENTITY_REF, True),  # containment only
         StructField("candidate_count", DoubleType(), False),
         StructField("cluster_id", IntegerType(), True),
+    ]
+)
+
+# bounded conversation-text chunks for the doc-scoped rule regexes
+# (operators/bestmention.ChunkedDoc); keep_len = local match starts below
+# this belong to the chunk, the tail past it is the next chunk's overlap
+DOC_CHUNKS = StructType(
+    [
+        StructField("conv_id", StringType(), False),
+        StructField("chunk_off", LongType(), False),
+        StructField("keep_len", LongType(), False),
+        StructField("chunk_text", StringType(), False),
     ]
 )
 
