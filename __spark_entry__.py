@@ -201,6 +201,21 @@ def _q_agg_lineitem(spark, sf_dir):
     )
 
 
+def _q_bem_pr_curve(spark, sf_dir):
+    """A7: confidence-sorted cumulative precision + suffix-max sawtooth
+    removal (BestMentionClassifierAnalysis.scala:62-80) over deterministic
+    (confidence, label) pairs derived from documents — SQL-expressible,
+    DuckDB-oracle-checked."""
+    from docopenie_spark.operators import classifier
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        (((F.col("doc_id") * 37 + F.col("n_chars")) % 1000) / 1000.0).alias("confidence"),
+        ((F.col("doc_id") * 7 + F.col("n_chars")) % 3 == 0).cast("double").alias("label"),
+    )
+    return classifier.pr_curve(scored)
+
+
 def _q_embedding_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 8)
@@ -252,6 +267,27 @@ def _q_kg_triples(spark, sf_dir):
     return run_pipeline(spark, t).triples
 
 
+def _q_kg_bem_classifier(spark, sf_dir):
+    """U1/U2: 13-feature extraction over the pipeline's best mentions +
+    LogisticRegression scoring (weak deterministic labels: non-identity
+    resolutions are positives). Rows-only — NLP-stage-derived."""
+    from docopenie_spark.operators import classifier
+
+    t = _kg_transcripts(spark, sf_dir)
+    r = run_pipeline(spark, t)
+    feats = classifier.bem_features(
+        r.best_mentions_expanded, r.clusters, datagen.gazetteer_rows()
+    ).cache()
+    labeled = feats.withColumn("label", (F.col("kind") != "identity").cast("double"))
+    model = classifier.train_classifier(labeled)
+    scored = classifier.score(model, feats)
+    return scored.select(
+        "conv_id", "bem_index", "kind",
+        F.col("target.text").alias("target_text"), "best_mention",
+        F.round("confidence", 4).alias("confidence"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turn_assembly": _q_turn_assembly,
@@ -269,6 +305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk": _q_window_topk,
         "broadcast_join": _q_broadcast_join,
         "agg_lineitem": _q_agg_lineitem,
+        "bem_pr_curve": _q_bem_pr_curve,
         "embedding_topk": _q_embedding_topk,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
@@ -276,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": _q_kg_links,
         "kg_best_mentions": _q_kg_best_mentions,
         "kg_triples": _q_kg_triples,
+        "kg_bem_classifier": _q_kg_bem_classifier,
     }
 
 
@@ -403,6 +441,27 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "bem_pr_curve": """
+            WITH s AS (
+              SELECT ((doc_id*37 + n_chars) % 1000)/1000.0 AS confidence,
+                     CASE WHEN (doc_id*7 + n_chars) % 3 = 0
+                          THEN 1.0 ELSE 0.0 END AS label
+              FROM documents
+            ), p AS (
+              SELECT confidence, label,
+                     round(avg(label) OVER (
+                       ORDER BY confidence DESC, label ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+                     AS precision
+              FROM s
+            )
+            SELECT confidence, label, precision,
+                   round(max(precision) OVER (
+                     ORDER BY confidence DESC, label ASC
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 6)
+                   AS precision_smoothed
+            FROM p
         """,
         "embedding_topk": """
             WITH q AS (SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv

@@ -186,22 +186,38 @@ def transcripts_pdf(n_turns: int, seed: int = 42) -> pd.DataFrame:
 # ------------------------------------------------------------ dimensions
 
 def entity_dict_rows() -> list[tuple]:
+    """(id, name, aliases, types, inlinks, context) — context is the
+    lowercase KB-text token set the linker's doc-similarity scores
+    against. The two 'Meridian' entries share an alias with EQUAL inlinks
+    so only context can disambiguate them (T9/T10 test fixture)."""
     rows = []
     for k, (full, acr) in enumerate(ORGS):
+        ctx = [w.lower() for w in full.split()] + ["organization", acr.lower()]
         rows.append(
-            (f"ORG{k:04d}", full, [acr, "the " + full], ["organization"], float(1000 + 97 * k))
+            (f"ORG{k:04d}", full, [acr, "the " + full], ["organization"],
+             float(1000 + 97 * k), ctx)
         )
     for k, (first, last, _g) in enumerate(PERSONS):
         rows.append(
-            (f"PER{k:04d}", f"{first} {last}", [last], ["person"], float(500 + 31 * k))
+            (f"PER{k:04d}", f"{first} {last}", [last], ["person"],
+             float(500 + 31 * k), [first.lower(), last.lower(), "person"])
         )
     seen_states = set()
     for k, (city, state, st_ab, country) in enumerate(CITIES):
-        rows.append((f"LOC{k:04d}", city, [f"{city}, {st_ab}"], ["location"], float(800 + 13 * k)))
+        rows.append((f"LOC{k:04d}", city, [f"{city}, {st_ab}"], ["location"],
+                     float(800 + 13 * k), [city.lower(), state.lower(), "city"]))
         if state not in seen_states:
             seen_states.add(state)
-            rows.append((f"STA{k:04d}", state, [st_ab], ["location"], float(900 + 7 * k)))
-    rows.append(("CTY0000", "United States", ["US", "USA"], ["location", "country"], 5000.0))
+            rows.append((f"STA{k:04d}", state, [st_ab], ["location"],
+                         float(900 + 7 * k), [state.lower(), "state"]))
+    rows.append(("CTY0000", "United States", ["US", "USA"], ["location", "country"],
+                 5000.0, ["united", "states", "country"]))
+    # deliberately ambiguous alias pair — same alias, same inlinks;
+    # resolvable only via arg context (Linker.scala:125-151 semantics)
+    rows.append(("AMBX001", "Meridian Motors", ["Meridian"], ["organization"],
+                 700.0, ["cars", "engines", "motor", "factory"]))
+    rows.append(("AMBX002", "Meridian Theater", ["Meridian"], ["organization"],
+                 700.0, ["stage", "play", "drama", "actors"]))
     return rows
 
 

@@ -1,0 +1,307 @@
+"""Best-mention classifier stage (SURVEY.md §2.8 U1/U2/U4 + §2.5 A7;
+reference tool/bestmention/classifier/*).
+
+U1 — the 13-feature FeatureSet (classifier/BestMentionFeatures.scala:54-115),
+re-expressed as COLUMN EXPRESSIONS + two bucketed containment joins (the
+coref-cluster-agreement feature is the reference's mentionsBetween nested
+scan, here a hash join):
+  4 × is-<EntityType>-rule    (isTypeFeature, :54-56)
+  is Coref / is Linked / is Coref+Identity  (typeFeatures, :58-62)
+  Ambiguous Candidate Count   (docFeatures, :65)
+  Coref Cluster Agrees        (docFeatures, :66-82 — 1 agree / -1 disagree / 0)
+  Location Ambiguity Count    (tipsterFeatures, :85-89 — TipsterData.totalCount)
+  StateOrProvince contains City / Country contains City (:90-100)
+  Target↔Best location type similarity (:101-107)
+
+U2 — logistic regression over the feature vector
+(classifier/BestMentionClassifier.scala:11-17 trains Breeze LR; ours is
+pyspark.ml.classification.LogisticRegression — the distributed-native
+equivalent).
+
+U4 — the labeled training-data TSV writer/reader
+(classifier/ResolvedBestMentionWriter.scala:42-73 and
+LabelledResolvedBestMentionReader.scala:19-43): same column layout
+(label, target text, best text, target context, best context,
+13 features, doc bem index, doc id).
+
+A7 — the confidence-sorted cumulative precision curve with sawtooth
+removal by suffix-max (classifier/eval/BestMentionClassifierAnalysis.scala:62-80):
+precRecall = running correct/total in confidence-descending order;
+removeSawtooth = per-position max over the remaining tail — both are
+single window expressions here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .bestmention import Gazetteer
+
+# (column, reference feature name) in the reference's featuresList order
+# (BestMentionFeatures.scala:109)
+FEATURES = [
+    ("f_is_organization_rule", "is a Organization rule"),
+    ("f_is_location_rule", "is a Location rule"),
+    ("f_is_person_rule", "is a Person rule"),
+    ("f_is_other_rule", "is a Other rule"),
+    ("f_is_coref", "is Coref BestMention"),
+    ("f_is_linked", "is Linked BestMention"),
+    ("f_is_coref_identity", "is Coref+Identity BestMention"),
+    ("f_ambiguous_candidate_count", "Ambiguous Candidate Count"),
+    ("f_coref_cluster_agrees", "Coref Cluster Agrees"),
+    ("f_location_ambiguity_count", "Location Ambiguity Count"),
+    ("f_state_contains_city", "StateOrProvince contains City"),
+    ("f_country_contains_city", "Country Contains City"),
+    ("f_loc_type_similarity", "Target and Best location type similarity"),
+]
+FEATURE_COLS = [c for c, _ in FEATURES]
+
+_B = 256  # chars per offset bucket (same containment-join pattern as J3)
+
+
+def with_bem_index(bems: DataFrame) -> DataFrame:
+    """Stable per-conversation index — the reference's
+    doc.bestMentions.zipWithIndex (ResolvedBestMentionWriter.scala:44-48)."""
+    w = Window.partitionBy("conv_id").orderBy(
+        F.col("target.offset"), "kind", "best_mention"
+    )
+    return bems.withColumn("bem_index", F.row_number().over(w) - 1)
+
+
+def _span_clusters(spans: DataFrame, clusters: DataFrame, off_col, len_col, out: str) -> DataFrame:
+    """(conv_id, bem_index, <out>=set of cluster ids whose mentions fall
+    inside the span) — the mentionsBetween → cluster lookup as a bucketed
+    containment join (BestMentionFeatures.scala:68-72)."""
+    cm = clusters.select(
+        "conv_id", "cluster_id", F.explode("mentions").alias("m")
+    ).select(
+        "conv_id", "cluster_id",
+        F.col("m.offset").alias("m_off"), F.length("m.text").alias("m_len"),
+    ).withColumn("_b", (F.col("m_off") / _B).cast("long"))
+    sp = spans.withColumn(
+        "_b",
+        F.explode(
+            F.sequence((off_col / _B).cast("long"), ((off_col + len_col) / _B).cast("long"))
+        ),
+    )
+    j = sp.join(cm, ["conv_id", "_b"]).where(
+        (F.col("m_off") >= off_col) & (F.col("m_off") + F.col("m_len") <= off_col + len_col)
+    )
+    return j.groupBy("conv_id", "bem_index").agg(
+        F.collect_set("cluster_id").alias(out)
+    )
+
+
+def bem_features(bems: DataFrame, clusters: DataFrame,
+                 gazetteer_rows: list[tuple]) -> DataFrame:
+    """BEST_MENTIONS (+ index) → 13 feature columns (U1). The gazetteer
+    kind/similarity lookups ship as literal predicates from the broadcast
+    gazetteer model (small dimension data, as in the reference's process
+    singleton)."""
+    gaz = Gazetteer(gazetteer_rows)
+    b = with_bem_index(bems)
+
+    typ = F.col("target.entity_type")
+    kind = F.col("kind")
+    is_container = F.col("container_entity").isNotNull()
+    t_lc = F.lower(F.col("target.text"))
+    c_lc = F.lower(F.col("container_entity.text"))
+
+    def _in(col, names: set[str]):
+        if not names:
+            return F.lit(False)
+        return col.isin(*sorted(names))
+
+    city_t, state_t, country_t = (
+        _in(t_lc, gaz.cities), _in(t_lc, gaz.states), _in(t_lc, gaz.countries)
+    )
+    city_c, state_c, country_c = (
+        _in(c_lc, gaz.cities), _in(c_lc, gaz.states), _in(c_lc, gaz.countries)
+    )
+    total_count = (
+        city_t.cast("double") + state_t.cast("double") + country_t.cast("double")
+    )
+    loc_sim = (
+        (city_t & city_c).cast("double")
+        + (state_t & state_c).cast("double")
+        + (country_t & country_c).cast("double")
+    )
+
+    feats = b.select(
+        "*",
+        (typ == "ORGANIZATION").cast("double").alias("f_is_organization_rule"),
+        (typ == "LOCATION").cast("double").alias("f_is_location_rule"),
+        (typ == "PERSON").cast("double").alias("f_is_person_rule"),
+        (typ == "OTHER").cast("double").alias("f_is_other_rule"),
+        kind.startswith("coref").cast("double").alias("f_is_coref"),
+        (kind == "coref_link").cast("double").alias("f_is_linked"),
+        (kind == "coref_identity").cast("double").alias("f_is_coref_identity"),
+        F.col("candidate_count").alias("f_ambiguous_candidate_count"),
+        F.when(is_container, total_count).otherwise(F.lit(0.0))
+        .alias("f_location_ambiguity_count"),
+        F.when(is_container, (city_t & state_c).cast("double")).otherwise(F.lit(0.0))
+        .alias("f_state_contains_city"),
+        F.when(is_container, (city_t & country_c).cast("double")).otherwise(F.lit(0.0))
+        .alias("f_country_contains_city"),
+        F.when(is_container, loc_sim).otherwise(F.lit(0.0))
+        .alias("f_loc_type_similarity"),
+    )
+
+    # Coref Cluster Agrees (ref :66-82): clusters touching the target span
+    # vs clusters touching the best-entity span; only FullResolvedBestMention
+    full = feats.where(F.col("best_entity").isNotNull()).select(
+        "conv_id", "bem_index",
+        F.col("target.offset").alias("t_off"), F.length("target.text").alias("t_len"),
+        F.col("best_entity.offset").alias("e_off"),
+        F.length("best_entity.text").alias("e_len"),
+    )
+    tc = _span_clusters(full, clusters, F.col("t_off"), F.col("t_len"), "t_clusters")
+    bc = _span_clusters(full, clusters, F.col("e_off"), F.col("e_len"), "b_clusters")
+    agree_src = (
+        full.select("conv_id", "bem_index")
+        .join(tc, ["conv_id", "bem_index"], "left")
+        .join(bc, ["conv_id", "bem_index"], "left")
+    )
+    agree = F.when(
+        F.size(F.array_intersect(
+            F.coalesce("t_clusters", F.array()), F.coalesce("b_clusters", F.array())
+        )) > 0,
+        F.lit(1.0),
+    ).when(
+        F.size(F.coalesce("b_clusters", F.array())) > 0, F.lit(-1.0)
+    ).otherwise(F.lit(0.0))
+    agree_df = agree_src.select(
+        "conv_id", "bem_index", agree.alias("f_coref_cluster_agrees")
+    )
+    out = feats.join(agree_df, ["conv_id", "bem_index"], "left").withColumn(
+        "f_coref_cluster_agrees", F.coalesce("f_coref_cluster_agrees", F.lit(0.0))
+    )
+    return out
+
+
+# ------------------------------------------------------------------ U2
+
+def train_classifier(labeled: DataFrame, label_col: str = "label", seed: int = 7):
+    """LogisticRegression over the 13-feature vector (U2; the reference
+    trains Breeze LR, BestMentionClassifier.scala:16-17). Returns a fitted
+    pyspark.ml PipelineModel whose `confidence` is P(label=1)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    asm = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
+    lr = LogisticRegression(
+        featuresCol="features", labelCol=label_col, predictionCol="prediction",
+        probabilityCol="probability", maxIter=50, regParam=0.01,
+    )
+    return Pipeline(stages=[asm, lr]).fit(labeled)
+
+
+def score(model, features: DataFrame) -> DataFrame:
+    """Adds ``confidence`` = P(label=1) from the fitted model."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(features)
+    return scored.withColumn(
+        "confidence", vector_to_array("probability")[1]
+    ).drop("features", "rawPrediction", "probability", "prediction")
+
+
+# ------------------------------------------------------------------ U4
+
+_TSV_HEAD = ["label", "target_text", "best_text", "target_context", "best_context"]
+_TSV_TAIL = ["doc_bem_index", "doc_id"]
+
+
+def training_rows(features: DataFrame, sentences: DataFrame) -> DataFrame:
+    """The writer's row layout (ResolvedBestMentionWriter.scala:50-73):
+    label (empty — to be human-filled), texts, contexts (the sentence
+    containing the offset, BestMentionHelper.context), features, index,
+    doc id. Contexts come from a bucketed containment join; tabs/newlines
+    are scrubbed exactly like the reference's noTabs."""
+    def _ctx(off_col, out):
+        s = sentences.select(
+            "conv_id", F.col("offset").alias("s_off"),
+            F.length("text").alias("s_len"), F.col("text").alias("s_text"),
+        ).withColumn(
+            "_b",
+            F.explode(F.sequence(
+                (F.col("s_off") / _B).cast("long"),
+                ((F.col("s_off") + F.col("s_len")) / _B).cast("long"),
+            )),
+        )
+        p = features.select(
+            "conv_id", "bem_index", off_col.alias("p_off")
+        ).withColumn("_b", (F.col("p_off") / _B).cast("long"))
+        j = p.join(s, ["conv_id", "_b"]).where(
+            (F.col("p_off") > F.col("s_off"))
+            & (F.col("p_off") < F.col("s_off") + F.col("s_len"))
+        )
+        return j.groupBy("conv_id", "bem_index").agg(F.min("s_text").alias(out))
+
+    t_ctx = _ctx(F.col("target.offset"), "target_context")
+    b_ctx = _ctx(
+        F.coalesce(F.col("best_entity.offset"), F.col("container_entity.offset"),
+                   F.col("target.offset")),
+        "best_context",
+    )
+    clean = lambda c: F.regexp_replace(F.coalesce(c, F.lit("NA")), "[\\t\\n]", " ")
+    return (
+        features.join(t_ctx, ["conv_id", "bem_index"], "left")
+        .join(b_ctx, ["conv_id", "bem_index"], "left")
+        .select(
+            F.lit("").alias("label"),
+            clean(F.col("target.text")).alias("target_text"),
+            clean(F.col("best_mention")).alias("best_text"),
+            clean(F.col("target_context")).alias("target_context"),
+            clean(F.col("best_context")).alias("best_context"),
+            *[F.round(F.col(c), 2).alias(c) for c in FEATURE_COLS],
+            F.col("bem_index").alias("doc_bem_index"),
+            F.col("conv_id").alias("doc_id"),
+        )
+    )
+
+
+def write_training_tsv(rows: DataFrame, path: str) -> None:
+    """S8 TSV sink with the reference's header layout."""
+    rows.write.mode("overwrite").option("sep", "\t").option("header", True).csv(path)
+
+
+def read_labeled_tsv(spark, path: str) -> DataFrame:
+    """Reads a human-labeled TSV back (LabelledResolvedBestMentionReader:
+    keeps only rows labeled '1'/'0'), typed for training."""
+    df = spark.read.option("sep", "\t").option("header", True).csv(path)
+    df = df.where(F.col("label").isin("1", "0"))
+    out = df.select(
+        F.col("label").cast("double").alias("label"),
+        "target_text", "best_text", "target_context", "best_context",
+        *[F.col(c).cast("double").alias(c) for c in FEATURE_COLS],
+        F.col("doc_bem_index").cast("int"),
+        "doc_id",
+    )
+    return out
+
+
+# ------------------------------------------------------------------ A7
+
+def pr_curve(scored: DataFrame, label_col: str = "label",
+             conf_col: str = "confidence") -> DataFrame:
+    """Cumulative precision in confidence-descending order + sawtooth
+    removal by suffix-max (BestMentionClassifierAnalysis.scala:62-80).
+
+    The curve is a TOTAL order over the evaluation set — a single-partition
+    window by construction (as in the reference, which materializes the
+    whole list). Evaluation sets are small; never run this over corpus-
+    scale data without pre-aggregating."""
+    base = scored.select(
+        F.col(conf_col).cast("double").alias("confidence"),
+        F.col(label_col).cast("double").alias("label"),
+    )
+    w = Window.orderBy(F.desc("confidence"), F.asc("label"))
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tail = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    return (
+        base.withColumn("precision", F.round(F.avg("label").over(cum), 6))
+        .withColumn("precision_smoothed", F.round(F.max("precision").over(tail), 6))
+    )

@@ -67,18 +67,94 @@ def with_clean_arg(args: DataFrame) -> DataFrame:
     ).where(F.length("clean_text") > 0)
 
 
+_CTX_BUCKET = 256  # chars per offset bucket in the containment joins
+
+
+def _containment_join(points: DataFrame, spans: DataFrame, p_off, p_len, s_off, s_len):
+    """points ⊆ spans interval join, bucketed on (conv_id, offset//B) so
+    it stays skew-proof — no per-conversation cross product even for the
+    hot conversation (SURVEY.md J3 pattern, same as substitute.py)."""
+    p = points.withColumn("_b", (p_off / _CTX_BUCKET).cast("long"))
+    s = spans.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                (s_off / _CTX_BUCKET).cast("long"),
+                ((s_off + s_len) / _CTX_BUCKET).cast("long"),
+            )
+        ),
+    )
+    return p.join(s, ["conv_id", "_b"]).where(
+        (p_off >= s_off) & (p_off + p_len <= s_off + s_len)
+    ).drop("_b")
+
+
+def arg_contexts(args: DataFrame, clusters: DataFrame, sentences: DataFrame) -> DataFrame:
+    """T9 (Linker.scala:125-151): per cleaned argument, the context is the
+    arg's OWN sentence plus every sentence containing a coref-cluster
+    SIBLING of a mention inside the arg span (``fullText = (source +:
+    extended).distinct``, Linker.scala:50). Returns (conv_id, offset,
+    text, ctx) with ctx = distinct lowercase tokens of those sentences.
+
+    All four steps are bucketed equi-joins — the reference's per-document
+    nested loops become hash joins that scale past the hot conversation."""
+    akey = ["conv_id", "offset", "text"]
+    a = args.select(*akey, "clean_text", "clean_offset")
+    s = sentences.select(
+        "conv_id", F.col("offset").alias("s_off"),
+        F.length("text").alias("s_len"), F.col("text").alias("s_text"),
+    )
+    # 1. the arg's own sentence
+    own = _containment_join(
+        a, s, F.col("clean_offset"), F.length("clean_text"), F.col("s_off"), F.col("s_len")
+    ).select(*akey, "s_off", "s_text")
+    # 2. cluster mentions inside the arg span
+    cm = clusters.select(
+        "conv_id", "cluster_id", F.explode("mentions").alias("m")
+    ).select("conv_id", "cluster_id", F.col("m.offset").alias("m_off"),
+             F.length("m.text").alias("m_len"))
+    arg_clusters = _containment_join(
+        cm, a,
+        F.col("m_off"), F.col("m_len"), F.col("clean_offset"), F.length("clean_text"),
+    ).select("conv_id", "offset", "text", "cluster_id").distinct()
+    # 3. sibling mentions of those clusters
+    siblings = arg_clusters.join(cm, ["conv_id", "cluster_id"]).select(
+        "conv_id", "offset", "text", "m_off", "m_len"
+    )
+    # 4. sentences containing the siblings (the EXTENDED context)
+    extended = _containment_join(
+        siblings, s, F.col("m_off"), F.col("m_len"), F.col("s_off"), F.col("s_len")
+    ).select(*akey, "s_off", "s_text")
+    ctx_sents = own.unionByName(extended).dropDuplicates(akey + ["s_off"])
+    return ctx_sents.groupBy(*akey).agg(
+        F.array_distinct(
+            F.flatten(F.collect_list(F.split(F.lower("s_text"), "\\s+")))
+        ).alias("ctx")
+    )
+
+
 def links(
     triples_raw: DataFrame,
     entity_dict: DataFrame,
     min_combined_score: float = 5.0,
+    clusters: DataFrame | None = None,
+    sentences: DataFrame | None = None,
 ) -> DataFrame:
     """TRIPLES_RAW × entity_dict → LINKS (threshold = the reference's
-    hardcoded minCombinedScore 5.0, Linker.scala:63)."""
+    hardcoded minCombinedScore 5.0, Linker.scala:63). With clusters +
+    sentences, doc_sim scores candidate context overlap against the T9
+    arg context (round 1 stubbed it to 0.0) — two dictionary entries
+    sharing an alias are disambiguated by context, not id order."""
     args = with_clean_arg(exploded_args(triples_raw))
+    if clusters is not None and sentences is not None:
+        ctx = arg_contexts(args, clusters, sentences)
+        args = args.join(ctx, ["conv_id", "offset", "text"], "left")
+    else:
+        args = args.withColumn("ctx", F.lit(None).cast("array<string>"))
 
     # explode the dictionary over name + aliases with a per-key kind
     cand = entity_dict.select(
-        "id", "name", "types", "inlinks",
+        "id", "name", "types", "inlinks", F.col("context").alias("d_ctx"),
         F.explode(
             F.concat(
                 F.array(F.struct(F.lower("name").alias("key"), F.lit("name").alias("src"))),
@@ -88,7 +164,8 @@ def links(
                 ),
             )
         ).alias("k"),
-    ).select("id", "name", "types", "inlinks", F.col("k.key").alias("key"), F.col("k.src").alias("src"))
+    ).select("id", "name", "types", "inlinks", "d_ctx",
+             F.col("k.key").alias("key"), F.col("k.src").alias("src"))
 
     j = args.join(
         F.broadcast(cand), F.lower(args.clean_text) == cand.key, "inner"
@@ -96,7 +173,12 @@ def links(
 
     cand_score = F.when(F.col("src") == "name", F.lit(6.0)).otherwise(F.lit(5.5))
     inlink_score = 0.4 * F.log10(F.lit(1.0) + F.col("inlinks"))
-    doc_sim = F.lit(0.0)
+    # context-token overlap, normalized by the entity's context size
+    doc_sim = F.when(
+        F.col("ctx").isNotNull() & F.col("d_ctx").isNotNull(),
+        F.size(F.array_intersect("ctx", "d_ctx"))
+        / F.greatest(F.size("d_ctx"), F.lit(1)).cast("double"),
+    ).otherwise(F.lit(0.0))
     score = cand_score + inlink_score + doc_sim
 
     w = Window.partitionBy("conv_id", "offset", "text").orderBy(

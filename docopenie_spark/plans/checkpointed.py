@@ -77,7 +77,12 @@ def run_checkpointed(
         store, "clusters", [mentions], lambda m: coref.clusters(m), run_id
     )
     links = _resumable(
-        store, "links", [triples_raw], lambda tr: link.links(tr, entity_dict), run_id
+        store, "links", [triples_raw, clusters, parsed],
+        lambda tr, c, p: link.links(
+            tr, entity_dict, clusters=c,
+            sentences=p.select("conv_id", "turn_idx", "sent_num", "offset", "text"),
+        ),
+        run_id,
     )
     bems = _resumable(
         store, "best_mentions", [mentions, chunks],

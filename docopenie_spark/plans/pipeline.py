@@ -94,7 +94,8 @@ def run_pipeline(
     lk = None
     if with_linking:
         ed = entity_dict if entity_dict is not None else datagen.entity_dict_df(spark)
-        lk = _p(link.links(triples_raw, ed))
+        # T9/T10: doc_sim scores against coref-extended arg context
+        lk = _p(link.links(triples_raw, ed, clusters=cl, sentences=sents))
 
     bems = _p(bestmention.best_mentions(ents, chunks, gaz_rows))
     if with_coref_expansion:

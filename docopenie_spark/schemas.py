@@ -206,6 +206,9 @@ ENTITY_DICT = StructType(
         StructField("aliases", ArrayType(StringType(), False), False),
         StructField("types", ArrayType(StringType(), False), False),
         StructField("inlinks", DoubleType(), False),
+        # lowercase context tokens for doc-similarity scoring (the
+        # reference linker's docSimScore against the entity's KB text)
+        StructField("context", ArrayType(StringType(), False), True),
     ]
 )
 

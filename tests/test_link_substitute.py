@@ -63,6 +63,98 @@ def test_with_clean_arg_one_leading_one_trailing(spark):
     assert got["Alice  Navarro"].clean_offset == 300
 
 
+def test_context_disambiguates_same_alias_entries(spark):
+    """T9/T10 (Linker.scala:125-162): two dictionary entries share the
+    alias 'Meridian' with EQUAL inlinks — only the arg's sentence context
+    can pick between them. Without context the tie breaks by id; with
+    context the theater-flavored sentence must select Meridian Theater."""
+    from docopenie_spark import schemas
+    from docopenie_spark.operators import link
+
+    sent_text = "The Meridian staged a new play with local actors tonight ."
+    triples_raw = spark.createDataFrame(
+        [("c1", 0, 0,
+          ("The Meridian", 0, [0, 1]),
+          ("staged", 13, [2]),
+          ("a new play", 20, [3, 4, 5]),
+          0.9, "verb")],
+        schemas.TRIPLES_RAW,
+    )
+    sentences = spark.createDataFrame(
+        [("c1", 0, 0, 0, sent_text)], schemas.SENTENCES
+    )
+    clusters = spark.createDataFrame([], schemas.CLUSTERS)
+    ed = spark.createDataFrame(
+        [
+            ("AMBX001", "Meridian Motors", ["Meridian"], ["organization"],
+             700.0, ["cars", "engines", "motor", "factory"]),
+            ("AMBX002", "Meridian Theater", ["Meridian"], ["organization"],
+             700.0, ["stage", "play", "drama", "actors"]),
+        ],
+        schemas.ENTITY_DICT,
+    )
+    no_ctx = {r.text: r for r in link.links(triples_raw, ed).collect()}
+    assert no_ctx["The Meridian"].id == "AMBX001"  # id-order tie-break
+    with_ctx = {
+        r.text: r
+        for r in link.links(
+            triples_raw, ed, clusters=clusters, sentences=sentences
+        ).collect()
+    }
+    row = with_ctx["The Meridian"]
+    assert row.id == "AMBX002", row  # context overlap ("play", "actors") wins
+    assert row.doc_sim > 0.0
+    assert row.name == "Meridian Theater"
+
+
+def test_arg_context_extends_through_coref_siblings(spark):
+    """Linker.scala:131-148: context sentences extend through coref
+    cluster siblings — a mention inside the arg pulls in the sentences of
+    its cluster's OTHER mentions."""
+    from docopenie_spark import schemas
+    from docopenie_spark.operators import link
+
+    s1 = "The Meridian announced a merger yesterday ."
+    s2 = "Critics praised the drama on stage ."
+    triples_raw = spark.createDataFrame(
+        [("c1", 0, 0,
+          ("The Meridian", 0, [0, 1]),
+          ("announced", 13, [2]),
+          ("a merger", 23, [3, 4]),
+          0.9, "verb")],
+        schemas.TRIPLES_RAW,
+    )
+    sentences = spark.createDataFrame(
+        [("c1", 0, 0, 0, s1), ("c1", 1, 1, len(s1) + 1, s2)], schemas.SENTENCES
+    )
+    # cluster: "Meridian" (inside the arg) ↔ "drama" mention in sentence 2
+    clusters = spark.createDataFrame(
+        [("c1", 0, ("Meridian", 4),
+          [("Meridian", 4), ("drama", len(s1) + 1 + s2.index("drama"))])],
+        schemas.CLUSTERS,
+    )
+    ed = spark.createDataFrame(
+        [
+            ("AMBX001", "Meridian Motors", ["Meridian"], ["organization"],
+             700.0, ["cars", "engines", "motor", "factory"]),
+            ("AMBX002", "Meridian Theater", ["Meridian"], ["organization"],
+             700.0, ["stage", "play", "drama", "actors"]),
+        ],
+        schemas.ENTITY_DICT,
+    )
+    got = {
+        r.text: r
+        for r in link.links(
+            triples_raw, ed, clusters=clusters, sentences=sentences
+        ).collect()
+    }
+    row = got["The Meridian"]
+    # own sentence has NO theater tokens; only the coref-extended sentence
+    # ("drama", "stage") can flip the choice
+    assert row.id == "AMBX002", row
+    assert row.doc_sim > 0.0
+
+
 def test_substitution_canonicalizes_pronouns(spark):
     r = _result(spark)
     triples = r.triples.collect()
