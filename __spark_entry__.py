@@ -267,6 +267,17 @@ def _q_kg_triples(spark, sf_dir):
     return run_pipeline(spark, t).triples
 
 
+def _q_kg_eval_diff(spark, sf_dir):
+    """EP1 step 5: baseline (rule-engine-only) vs full-pipeline changed
+    extractions (EvaluationPrinter.scala:121-180). Rows-only."""
+    from docopenie_spark.plans.evaluation import eval_diff
+
+    t = _kg_transcripts(spark, sf_dir)
+    base = run_pipeline(spark, t, with_linking=False, with_coref_expansion=False)
+    comp = run_pipeline(spark, t)
+    return eval_diff(base.triples, comp.triples, comp.sentences)
+
+
 def _q_kg_bem_classifier(spark, sf_dir):
     """U1/U2: 13-feature extraction over the pipeline's best mentions +
     LogisticRegression scoring (weak deterministic labels: non-identity
@@ -313,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_links": _q_kg_links,
         "kg_best_mentions": _q_kg_best_mentions,
         "kg_triples": _q_kg_triples,
+        "kg_eval_diff": _q_kg_eval_diff,
         "kg_bem_classifier": _q_kg_bem_classifier,
     }
 

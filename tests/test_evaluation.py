@@ -1,0 +1,65 @@
+"""Differential evaluation (EP1 step 5): changed-extraction diff +
+link diff + the cross-variant text-equality invariant."""
+
+import pyspark.sql.functions as F
+
+from docopenie_spark import datagen
+from docopenie_spark.plans.evaluation import eval_diff, link_diff
+from docopenie_spark.plans.pipeline import run_pipeline
+
+
+def test_eval_diff_baseline_vs_full(spark):
+    t = datagen.transcripts_df(spark, 240)
+    # baseline: rule-engine-only substitution (no linking/coref expansion);
+    # comparison: the full pipeline — the reference's RULES vs COREF runs
+    base = run_pipeline(spark, t, with_linking=False, with_coref_expansion=False)
+    comp = run_pipeline(spark, t)
+    d = eval_diff(base.triples, comp.triples, comp.sentences).cache()
+    rows = d.collect()
+    assert rows, "coref expansion must change at least one displayed arg"
+    for r in rows:
+        assert (r.arg1_changed == "YES") or (r.arg2_changed == "YES")
+        if r.arg1_changed == "YES":
+            assert r.comp_arg1 != r.base_arg1
+        else:
+            assert r.comp_arg1 == r.base_arg1
+        assert r.sentence_text is not None
+    # every changed pair keys back to exactly one extraction in each run
+    n_dup = (
+        d.groupBy("conv_id", "turn_idx", "sent_num", "rel", "base_arg1", "base_arg2")
+        .count().where(F.col("count") > 2).count()
+    )
+    assert n_dup == 0
+
+
+def test_eval_diff_identical_runs_is_empty(spark):
+    t = datagen.transcripts_df(spark, 160)
+    r = run_pipeline(spark, t)
+    assert eval_diff(r.triples, r.triples).isEmpty()
+
+
+def test_per_turn_text_equality_across_variants(spark):
+    """The reference's require(baseSent.text == compSent.text)
+    (EvaluationPrinter.scala:128): both variants must see IDENTICAL
+    sentences under stable turn ordering."""
+    t = datagen.transcripts_df(spark, 240)
+    base = run_pipeline(spark, t, with_linking=False, with_coref_expansion=False)
+    comp = run_pipeline(spark, t)
+    a = base.sentences.select("conv_id", "turn_idx", "sent_num", "text")
+    b = comp.sentences.select("conv_id", "turn_idx", "sent_num", "text")
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+
+
+def test_link_diff_tags_sources(spark):
+    t = datagen.transcripts_df(spark, 240)
+    r = run_pipeline(spark, t)
+    full = r.links.cache()
+    # the 'old' run: drop one entity id entirely; the diff must surface
+    # every dropped link as BASELINE-only ... wait, dropped from NEW side
+    pruned = full.where(F.col("id") != "ORG0000")
+    d = link_diff(full, pruned).cache()
+    assert d.where(F.col("source") == "NEW").isEmpty()
+    base_only = d.where(F.col("source") == "BASELINE")
+    assert base_only.count() == full.where(F.col("id") == "ORG0000").count()
+    # identical runs → empty diff
+    assert link_diff(full, full).isEmpty()
