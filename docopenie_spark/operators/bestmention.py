@@ -773,6 +773,12 @@ def expand_with_coref(bems: DataFrame, clusters: DataFrame,
     Container/containment best mentions propagate like any other
     (getUniquebestMentionsInCluster takes ALL bestMentions,
     DocumentExtractor.scala:127-138).
+
+    Stage shape (flattened in round 2): the cluster mentions explode ONCE,
+    pick up link and best-mention annotations in two chained left joins on
+    the same key, and ONE groupBy produces both the link-uniqueness and
+    bem-uniqueness decisions — the round-1 version ran two join+groupBy
+    pyramids plus an anti-join and a second pronoun join (4 shuffles more).
     """
     m = clusters.select(
         "conv_id", "cluster_id", F.explode("mentions").alias("m")
@@ -782,8 +788,7 @@ def expand_with_coref(bems: DataFrame, clusters: DataFrame,
     is_pron = F.lower(F.col("m_text")).isin(*sorted(PRONOUNS))
     pron_mentions = m.where(is_pron)
 
-    new_rows = []
-
+    ann = m
     if links is not None:
         # the reference maps links onto clusters by link.offset == m.offset
         # (DocumentExtractor.scala:119-121) against Stanford mentions that
@@ -794,91 +799,83 @@ def expand_with_coref(bems: DataFrame, clusters: DataFrame,
             F.col("name").alias("l_name"), F.col("id").alias("l_id"),
             F.col("types").alias("l_types"),
         )
-        lic = m.join(
-            l, (m.conv_id == l.l_conv) & (m.m_offset == l.l_off)
-        ).select(m.conv_id, "cluster_id", "l_name", "l_id", "l_types")
-        uniq = (
-            lic.groupBy("conv_id", "cluster_id")
-            .agg(F.countDistinct("l_id").alias("n"),
-                 F.min(F.struct("l_id", "l_name", "l_types")).alias("l"))
-            .where(F.col("n") == 1)
-        )
-        person_link = F.exists(F.col("l.l_types"), lambda t: t == F.lit("person"))
-        link_type = F.when(person_link, F.lit("PERSON")).otherwise(F.lit("OTHER"))
-        new_rows.append(
-            pron_mentions.join(uniq, ["conv_id", "cluster_id"])
-            .where(_pronoun_gate(F.col("m_text"), link_type))
-            .select(
-                "conv_id",
-                F.lit("coref_link").alias("kind"),
-                F.struct(
-                    F.col("m_text").alias("text"), F.col("m_offset").alias("offset"),
-                    F.col("m_text").alias("name"), link_type.alias("entity_type"),
-                ).alias("target"),
-                _possessive_fix(F.col("l.l_name"), F.col("m_text")).alias("best_mention"),
-                F.lit(None).cast(schemas.ENTITY_REF).alias("best_entity"),
-                F.lit(None).cast(schemas.ENTITY_REF).alias("container_entity"),
-                F.lit(None).cast(schemas.ENTITY_REF).alias("contained_entity"),
-                F.lit(1.0).alias("candidate_count"),
-                F.col("cluster_id"),
-            )
-        )
-        linked_clusters = uniq.select("conv_id", "cluster_id")
+        ann = ann.join(
+            l, (ann.conv_id == l.l_conv) & (ann.m_offset == l.l_off), "left"
+        ).drop("l_conv", "l_off")
     else:
-        linked_clusters = None
+        ann = (
+            ann.withColumn("l_id", F.lit(None).cast("string"))
+            .withColumn("l_name", F.lit(None).cast("string"))
+            .withColumn("l_types", F.lit(None).cast("array<string>"))
+        )
 
     b = bems.where(
         F.col("kind").isin("identity", "full", "container", "containment")
     ).select(
         F.col("conv_id").alias("b_conv"), F.col("target.offset").alias("b_off"),
-        "kind", "target", "best_mention", "best_entity", "candidate_count",
+        F.col("kind").alias("b_kind"), F.col("target").alias("b_target"),
+        "best_mention", "best_entity", "candidate_count",
     )
-    bic = m.join(
-        b, (m.conv_id == b.b_conv) & (m.m_offset == b.b_off)
-    ).select(m.conv_id, "cluster_id", "kind", "target", "best_mention",
-             "best_entity", "candidate_count")
-    uniq_b = (
-        bic.groupBy("conv_id", "cluster_id")
-        .agg(
-            F.countDistinct("best_mention").alias("n"),
-            F.min(F.struct("best_mention", "kind", "target", "best_entity",
-                           "candidate_count")).alias("b"),
-        )
-        .where(F.col("n") == 1)
-    )
-    if linked_clusters is not None:
-        uniq_b = uniq_b.join(linked_clusters, ["conv_id", "cluster_id"], "left_anti")
+    ann = ann.join(
+        b, (ann.conv_id == b.b_conv) & (ann.m_offset == b.b_off), "left"
+    ).drop("b_conv", "b_off")
 
-    coref_kind = (
-        F.when(F.col("b.kind") == "identity", F.lit("coref_identity"))
+    # null-guarded structs so min() skips mentions without a match
+    l_struct = F.when(
+        F.col("l_id").isNotNull(), F.struct("l_id", "l_name", "l_types")
+    )
+    b_struct = F.when(
+        F.col("best_mention").isNotNull(),
+        F.struct("best_mention", "b_kind", "b_target", "best_entity", "candidate_count"),
+    )
+    agg = ann.groupBy("conv_id", "cluster_id").agg(
+        F.countDistinct("l_id").alias("n_l"),
+        F.min(l_struct).alias("l"),
+        F.countDistinct("best_mention").alias("n_b"),
+        F.min(b_struct).alias("b"),
+    )
+    use_link = F.col("n_l") == 1
+    decided = agg.where(use_link | (F.col("n_b") == 1)).select(
+        "conv_id", "cluster_id", use_link.alias("use_link"), "l", "b"
+    )
+
+    person_link = F.exists(F.col("l.l_types"), lambda t: t == F.lit("person"))
+    link_type = F.when(person_link, F.lit("PERSON")).otherwise(F.lit("OTHER"))
+    ent_type = F.when(F.col("use_link"), link_type).otherwise(
+        F.col("b.b_target.entity_type")
+    )
+    kind = (
+        F.when(F.col("use_link"), F.lit("coref_link"))
+        .when(F.col("b.b_kind") == "identity", F.lit("coref_identity"))
         .when(F.col("b.best_entity").isNotNull(), F.lit("coref_full"))
         .otherwise(F.lit("coref"))
     )
-    new_rows.append(
-        pron_mentions.join(uniq_b, ["conv_id", "cluster_id"])
-        .where(_pronoun_gate(F.col("m_text"), F.col("b.target.entity_type")))
+    raw_best = (
+        F.when(F.col("use_link"), F.col("l.l_name"))
+        .when(F.col("b.b_kind") == "identity", F.col("b.b_target.name"))
+        .otherwise(F.col("b.best_mention"))
+    )
+    new_rows = (
+        pron_mentions.join(decided, ["conv_id", "cluster_id"])
+        # clusters decided by bem need a bem; link clusters need a link row
+        .where(F.when(F.col("use_link"), F.col("l").isNotNull())
+               .otherwise(F.col("b").isNotNull()))
+        .where(_pronoun_gate(F.col("m_text"), ent_type))
         .select(
             "conv_id",
-            coref_kind.alias("kind"),
+            kind.alias("kind"),
             F.struct(
                 F.col("m_text").alias("text"), F.col("m_offset").alias("offset"),
-                F.col("m_text").alias("name"),
-                F.col("b.target.entity_type").alias("entity_type"),
+                F.col("m_text").alias("name"), ent_type.alias("entity_type"),
             ).alias("target"),
-            _possessive_fix(
-                F.when(F.col("b.kind") == "identity", F.col("b.target.name"))
-                .otherwise(F.col("b.best_mention")),
-                F.col("m_text"),
-            ).alias("best_mention"),
-            F.col("b.best_entity").alias("best_entity"),
+            _possessive_fix(raw_best, F.col("m_text")).alias("best_mention"),
+            F.when(~F.col("use_link"), F.col("b.best_entity"))
+            .cast(schemas.ENTITY_REF).alias("best_entity"),
             F.lit(None).cast(schemas.ENTITY_REF).alias("container_entity"),
             F.lit(None).cast(schemas.ENTITY_REF).alias("contained_entity"),
-            F.col("b.candidate_count").alias("candidate_count"),
+            F.when(F.col("use_link"), F.lit(1.0))
+            .otherwise(F.col("b.candidate_count")).alias("candidate_count"),
             F.col("cluster_id"),
         )
     )
-
-    out = bems
-    for df in new_rows:
-        out = out.unionByName(df)
-    return out
+    return bems.unionByName(new_rows)

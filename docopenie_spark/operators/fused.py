@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 
 from .. import schemas
 from ..functions import textnorm
+from .extract import extract_sentence
+from .ner import sentence_entities
 from .segment import segment_turn
 from .tokenize import tokenize_sentence
 
@@ -77,3 +79,90 @@ def parsed_sentences(turns_with_offsets: DataFrame, apply_filter: bool = True,
             ).astype({"turn_idx": "int32", "sent_num": "int32", "offset": "int64"})
 
     return src.mapInPandas(run, schema=schemas.PARSED_SENTENCES)
+
+
+# ------------------------------------------------- fused extract + NER
+
+_PART_DDL = "struct<text:string,offset:bigint,token_indices:array<int>>"
+ANNOTATED = (
+    "conv_id string, row_kind string, turn_idx int, sent_num int, "
+    f"arg1 {_PART_DDL}, rel {_PART_DDL}, arg2 {_PART_DDL}, "
+    "confidence double, extractor string, "
+    "e_text string, e_offset bigint, e_name string, e_type string"
+)
+
+
+def extract_and_annotate(
+    parsed: DataFrame,
+    first_names: set[str],
+    gazetteer_names: set[str],
+    last_names: set[str] | None = None,
+) -> DataFrame:
+    """T4/T5 extraction AND T7/T8 NER in ONE Python hop over the cached
+    parsed table (round 1 ran them as two separate mapInPandas passes —
+    the token arrays crossed the Arrow boundary twice). Output rows are
+    discriminated by ``row_kind`` ('t' = triple, 'e' = entity/pronoun);
+    :func:`split_triples` / :func:`split_entities` are JVM-side filters
+    over the persisted combined table."""
+    sc = parsed.sparkSession.sparkContext
+    b_first = sc.broadcast(frozenset(first_names))
+    b_gaz = sc.broadcast(frozenset(gazetteer_names))
+    b_last = sc.broadcast(frozenset(last_names or ()))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        firsts, gaz, lasts = b_first.value, b_gaz.value, b_last.value
+        for b in batches:
+            recs = []
+            for conv_id, turn_idx, sent_num, offset, text, toks in zip(
+                b["conv_id"], b["turn_idx"], b["sent_num"],
+                b["offset"], b["text"], b["tokens"]
+            ):
+                tokens = [
+                    {"token": t["token"], "start": t["start"], "pos": t["pos"],
+                     "chunk": t["chunk"], "lemma": t["lemma"]}
+                    for t in toks
+                ]
+                off = int(offset)
+                for a1, r, a2, conf, ext in extract_sentence(tokens, text):
+                    recs.append((
+                        conv_id, "t", int(turn_idx), int(sent_num),
+                        (a1[0], off + a1[1], a1[2]),
+                        (r[0], off + r[1], r[2]),
+                        (a2[0], off + a2[1], a2[2]),
+                        conf, ext, None, None, None, None,
+                    ))
+                for e_text, e_off, e_name, e_type in sentence_entities(
+                    tokens, text, off, firsts, gaz, lasts, True
+                ):
+                    recs.append((
+                        conv_id, "e", int(turn_idx), int(sent_num),
+                        None, None, None, None, None,
+                        e_text, int(e_off), e_name, e_type,
+                    ))
+            yield pd.DataFrame(
+                recs,
+                columns=["conv_id", "row_kind", "turn_idx", "sent_num",
+                         "arg1", "rel", "arg2", "confidence", "extractor",
+                         "e_text", "e_offset", "e_name", "e_type"],
+            )
+
+    return parsed.mapInPandas(run, schema=ANNOTATED)
+
+
+def split_triples(annotated: DataFrame) -> DataFrame:
+    """TRIPLES_RAW view of the combined table (JVM filter, no Python)."""
+    return annotated.where(F.col("row_kind") == "t").select(
+        "conv_id", "turn_idx", "sent_num", "arg1", "rel", "arg2",
+        "confidence", "extractor",
+    )
+
+
+def split_entities(annotated: DataFrame) -> DataFrame:
+    """ENTITIES (incl. pronoun mention rows) view of the combined table."""
+    return annotated.where(F.col("row_kind") == "e").select(
+        "conv_id",
+        F.col("e_text").alias("text"),
+        F.col("e_offset").alias("offset"),
+        F.col("e_name").alias("name"),
+        F.col("e_type").alias("entity_type"),
+    )

@@ -80,6 +80,28 @@ def classify(words: list[str], first_names: frozenset, gaz_names: frozenset) -> 
     return "OTHER"
 
 
+def sentence_entities(toks, text, offset, firsts, gaz, lasts,
+                      include_pronouns=True):
+    """Per-sentence entity + pronoun extraction core (shared by
+    :func:`entities` and the fused extract+NER pass in fused.py)."""
+    recs = []
+    for i, j in _spans(toks):
+        words = [toks[k]["token"] for k in range(i, j + 1)]
+        start = toks[i]["start"]
+        end = toks[j]["start"] + len(toks[j]["token"])
+        typ = classify(words, firsts, gaz)
+        if typ == "OTHER" and len(words) == 1 and words[0] in lasts:
+            typ = "PERSON"
+        recs.append((text[start:end], int(offset) + start, " ".join(words), typ))
+    if include_pronouns:
+        for t in toks:
+            if t["pos"] in ("PRP", "PRP$") and t["token"].lower() in PRONOUNS:
+                recs.append(
+                    (t["token"], int(offset) + t["start"], t["token"], PRONOUN_TYPE)
+                )
+    return recs
+
+
 def entities(
     parsed: DataFrame,
     first_names: set[str],
@@ -105,25 +127,9 @@ def entities(
             for conv_id, offset, text, toks in zip(
                 b["conv_id"], b["offset"], b["text"], b["tokens"]
             ):
-                toks = list(toks)
-                for i, j in _spans(toks):
-                    words = [toks[k]["token"] for k in range(i, j + 1)]
-                    start = toks[i]["start"]
-                    end = toks[j]["start"] + len(toks[j]["token"])
-                    typ = classify(words, firsts, gaz)
-                    if typ == "OTHER" and len(words) == 1 and words[0] in lasts:
-                        typ = "PERSON"
-                    recs.append(
-                        (conv_id, text[start:end], int(offset) + start,
-                         " ".join(words), typ)
-                    )
-                if include_pronouns:
-                    for k, t in enumerate(toks):
-                        if t["pos"] in ("PRP", "PRP$") and t["token"].lower() in PRONOUNS:
-                            recs.append(
-                                (conv_id, t["token"], int(offset) + t["start"],
-                                 t["token"], PRONOUN_TYPE)
-                            )
+                for e in sentence_entities(list(toks), text, offset, firsts, gaz,
+                                           lasts, include_pronouns):
+                    recs.append((conv_id, *e))
             yield pd.DataFrame(
                 recs, columns=["conv_id", "text", "offset", "name", "entity_type"]
             ).astype({"offset": "int64"})

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import datagen
-from ..operators import assembly, bestmention, coref, extract, fused, link, ner, substitute
+from ..operators import assembly, bestmention, coref, fused, link, ner, substitute
 from ..sources.checkpoints import BUCKET_COL, StageStore, with_bucket
 from .pipeline import default_dictionaries
 
@@ -66,13 +66,13 @@ def run_checkpointed(
     chunks = _resumable(
         store, "doc_chunks", [transcripts], lambda t: assembly.doc_chunks(t), run_id
     )
-    triples_raw = _resumable(
-        store, "triples_raw", [parsed], lambda p: extract.triples_raw(p), run_id
+    annotated = _resumable(
+        store, "annotated", [parsed],
+        lambda p: fused.extract_and_annotate(p, first_names, gaz_names, last_names),
+        run_id,
     )
-    mentions = _resumable(
-        store, "mentions", [parsed],
-        lambda p: ner.entities(p, first_names, gaz_names, last_names), run_id,
-    )
+    triples_raw = fused.split_triples(annotated)
+    mentions = fused.split_entities(annotated)
     clusters = _resumable(
         store, "clusters", [mentions], lambda m: coref.clusters(m), run_id
     )

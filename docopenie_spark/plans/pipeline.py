@@ -18,9 +18,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .. import datagen
 from ..operators import (
-    assembly, bestmention, coref, extract, fused, link, ner, segment, substitute,
+    assembly, bestmention, coref, fused, link, ner, substitute,
 )
-from ..operators import tokenize as tok
 
 
 @dataclass
@@ -81,13 +80,15 @@ def run_pipeline(
     # materializes as one row (assembly.doc_chunks)
     chunks = _p(assembly.doc_chunks(transcripts))
     # fused segment+tokenize: ONE Python worker per task pipeline (see
-    # operators/fused.py); persisting it cuts the UDF chain so extract
-    # and NER each read cache with a single Python hop
+    # operators/fused.py); persisting it cuts the UDF chain
     parsed = _p(fused.parsed_sentences(turns))
     sents = parsed.select("conv_id", "turn_idx", "sent_num", "offset", "text")
-    triples_raw = _p(extract.triples_raw(parsed))
-
-    mentions = _p(ner.entities(parsed, first_names, gaz_names, last_names))
+    # extraction + NER fused into ONE Python hop over the parsed cache —
+    # the wide token arrays cross the Arrow boundary once, not twice;
+    # triples/entities are JVM filters over the persisted combined table
+    annotated = _p(fused.extract_and_annotate(parsed, first_names, gaz_names, last_names))
+    triples_raw = fused.split_triples(annotated)
+    mentions = fused.split_entities(annotated)
     ents, _prons = ner.split_mentions(mentions)
     cl = _p(coref.clusters(mentions))
 
