@@ -30,21 +30,41 @@ from pyspark.sql import functions as F
 SEP = "\n"  # turn separator in the assembled document text
 
 
-def with_turn_offsets(transcripts: DataFrame) -> DataFrame:
+def with_turn_offsets(transcripts: DataFrame, group: int = 64) -> DataFrame:
     """Add ``turn_offset`` (char offset of each turn in the assembled doc)
-    and ``doc_len``. Pure column ops; one shuffle on conv_id."""
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    and ``doc_len``.
+
+    SALTED two-level prefix sum (segmented scan): a single window over
+    conv_id puts the hot conversation's 10% of all turns in ONE window
+    partition — a measured straggler (parse-phase scaling eff 0.53 at
+    4→16 CPUs). Instead: (1) per-(conv, turn_idx//group) partial sums via
+    groupBy (parallel, map-side combined); (2) a prefix sum over the
+    partials — a window over rows 1/group the size, hot conv included;
+    (3) join the partial offsets back on (conv_id, salt) — a BALANCED
+    shuffle key whose partitioning the final within-group window reuses
+    (partitions never exceed ``group`` rows). Identical output to the
+    naive single window."""
+    sep = F.lit(len(SEP)).cast("long")
+    piece = F.length("text") + sep
+    t = transcripts.withColumn("_salt", (F.col("turn_idx") / group).cast("int"))
+    partials = t.groupBy("conv_id", "_salt").agg(F.sum(piece).alias("_plen"))
+    wp = Window.partitionBy("conv_id").orderBy("_salt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     wall = Window.partitionBy("conv_id")
-    piece = F.length("text") + F.lit(len(SEP)).cast("long")
+    poffs = partials.select(
+        "conv_id",
+        "_salt",
+        (F.sum("_plen").over(wp) - F.col("_plen")).alias("_poff"),
+        (F.sum("_plen").over(wall) - sep).alias("doc_len"),
+    )
+    j = t.join(poffs, ["conv_id", "_salt"])
+    wg = Window.partitionBy("conv_id", "_salt").orderBy("turn_idx").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
     return (
-        transcripts.withColumn(
-            "turn_offset",
-            F.coalesce(
-                F.sum(piece).over(w.rowsBetween(Window.unboundedPreceding, -1)),
-                F.lit(0).cast("long"),
-            ),
-        )
-        .withColumn("doc_len", F.sum(piece).over(wall) - F.lit(len(SEP)).cast("long"))
+        j.withColumn("turn_offset", F.col("_poff") + F.sum(piece).over(wg) - piece)
+        .drop("_salt", "_poff")
     )
 
 

@@ -59,18 +59,17 @@ def run_checkpointed(
     gaz_rows = datagen.gazetteer_rows()
     entity_dict = datagen.entity_dict_df(spark)
 
-    parsed = _resumable(
-        store, "parsed", [transcripts],
-        lambda t: fused.parsed_sentences(assembly.with_turn_offsets(t)), run_id,
-    )
     chunks = _resumable(
         store, "doc_chunks", [transcripts], lambda t: assembly.doc_chunks(t), run_id
     )
     annotated = _resumable(
-        store, "annotated", [parsed],
-        lambda p: fused.extract_and_annotate(p, first_names, gaz_names, last_names),
+        store, "annotated", [transcripts],
+        lambda t: fused.parse_extract_annotate(
+            assembly.with_turn_offsets(t), first_names, gaz_names, last_names
+        ),
         run_id,
     )
+    parsed = fused.split_sentences(annotated)  # sentence rows (no tokens)
     triples_raw = fused.split_triples(annotated)
     mentions = fused.split_entities(annotated)
     clusters = _resumable(

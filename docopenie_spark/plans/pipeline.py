@@ -79,16 +79,22 @@ def run_pipeline(
     # the rule engine consumes BOUNDED chunks — the hot conversation never
     # materializes as one row (assembly.doc_chunks)
     chunks = _p(assembly.doc_chunks(transcripts))
-    # fused segment+tokenize: ONE Python worker per task pipeline (see
-    # operators/fused.py); persisting it cuts the UDF chain
-    parsed = _p(fused.parsed_sentences(turns))
-    sents = parsed.select("conv_id", "turn_idx", "sent_num", "offset", "text")
-    # extraction + NER fused into ONE Python hop over the parsed cache —
-    # the wide token arrays cross the Arrow boundary once, not twice;
-    # triples/entities are JVM filters over the persisted combined table
-    annotated = _p(fused.extract_and_annotate(parsed, first_names, gaz_names, last_names))
+    # segment+tokenize+extract+NER in ONE Python pass over the turn table
+    # (operators/fused.parse_extract_annotate): token arrays never cross
+    # the Arrow boundary — measured, the Arrow transfer itself scales at
+    # ~0.34 efficiency, so bulk python passes are minimized. rebalance
+    # off: the salted turn-offset join already partitions on (conv_id,
+    # salt), balanced even for the hot conversation. Sentences, triples
+    # and entities are JVM filters over the persisted combined table.
+    annotated = _p(fused.parse_extract_annotate(
+        turns, first_names, gaz_names, last_names, rebalance=False
+    ))
+    sents = fused.split_sentences(annotated)
     triples_raw = fused.split_triples(annotated)
     mentions = fused.split_entities(annotated)
+    # parsed (with token arrays) is API surface only — built on demand,
+    # not part of the executed DAG
+    parsed = fused.parsed_sentences(turns)
     ents, _prons = ner.split_mentions(mentions)
     cl = _p(coref.clusters(mentions))
 

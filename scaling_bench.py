@@ -30,21 +30,44 @@ CPUS_BIG = int(os.environ.get("SCALING_4N", "16"))
 PIN = os.environ.get("SCALING_PIN", "1") == "1"  # taskset the process tree
 
 
+def _staged_path() -> str:
+    return os.path.join("/tmp", f"scaling_transcripts_{N_TURNS}.parquet")
+
+
+def stage_input() -> None:
+    """Materialize the synthetic transcript table ONCE (untimed): the
+    north-rule job reads a STORED Iceberg-shaped table — generating rows
+    in Python inside the timed region would measure the generator, not
+    the pipeline."""
+    from docopenie_spark import datagen
+    from docopenie_spark.session import get_spark
+
+    if os.path.exists(_staged_path()):
+        return
+    spark = get_spark(app_name="scaling-stage", master="local[16]",
+                      shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    datagen.transcripts_df(spark, N_TURNS).write.mode("overwrite").parquet(_staged_path())
+    spark.stop()
+
+
 def single(cpus: int) -> None:
     from docopenie_spark import datagen
     from docopenie_spark.plans.pipeline import run_pipeline
     from docopenie_spark.session import get_spark
 
+    mult = int(os.environ.get("SCALING_PART_MULT", "1"))
     spark = get_spark(
         app_name=f"scaling-{cpus}",
         master=f"local[{cpus}]",
-        shuffle_partitions=cpus,
+        shuffle_partitions=cpus * mult,
     )
     spark.sparkContext.setLogLevel("ERROR")
     # warmup: full code path on a small slice (JIT, Arrow, Python workers)
     run_pipeline(spark, datagen.transcripts_df(spark, 2000)).triples.count()
+    src = spark.read.parquet(_staged_path())
     t0 = time.time()
-    n = run_pipeline(spark, datagen.transcripts_df(spark, N_TURNS)).triples.count()
+    n = run_pipeline(spark, src).triples.count()
     wall = time.time() - t0
     print(json.dumps({"cpus": cpus, "wall": wall, "triples": n, "turns": N_TURNS}))
     spark.stop()
@@ -55,6 +78,7 @@ def main() -> None:
         single(int(sys.argv[2]))
         return
 
+    stage_input()
     # INTERLEAVE configs: the sandbox host's available CPU varies over
     # minutes (co-tenant steal), so paired runs minutes apart are the
     # only fair comparison — grouped runs confound config with host load

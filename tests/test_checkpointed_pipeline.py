@@ -22,24 +22,29 @@ def test_checkpointed_equals_in_memory(spark, tmp_path):
 
 
 def test_mid_run_kill_then_resume(spark, tmp_path):
-    """Simulate a run killed mid-way: the parsed stage finished only half
-    its buckets; the resumed run must produce the identical triple set."""
+    """Simulate a run killed mid-way: the annotated stage finished only
+    half its buckets; the resumed run must produce the identical triple
+    set."""
     from docopenie_spark.operators import assembly, fused
+    from docopenie_spark.plans.pipeline import default_dictionaries
 
     t = datagen.transcripts_df(spark, 160)
     fresh = _norm(run_pipeline(spark, t).triples)
 
     store = StageStore(spark, str(tmp_path / "cp"), buckets=4)
     # "killed" first run: only buckets 0-1 of the first stage completed
-    parsed = fused.parsed_sentences(assembly.with_turn_offsets(t))
-    store.write_stage("parsed", parsed, run_id="killed", only_buckets=[0, 1])
-    assert store.done_buckets("parsed") == [0, 1]
+    fn, gz, ln = default_dictionaries()
+    annotated = fused.parse_extract_annotate(
+        assembly.with_turn_offsets(t), fn, gz, ln
+    )
+    store.write_stage("annotated", annotated, run_id="killed", only_buckets=[0, 1])
+    assert store.done_buckets("annotated") == [0, 1]
 
     resumed = _norm(run_checkpointed(spark, t, store, run_id="resume"))
     assert resumed.exceptAll(fresh).isEmpty()
     assert fresh.exceptAll(resumed).isEmpty()
-    # lineage shows both runs contributed parsed buckets
-    lin = store.lineage().where(F.col("stage") == "parsed").collect()
+    # lineage shows both runs contributed annotated buckets
+    lin = store.lineage().where(F.col("stage") == "annotated").collect()
     assert {r.run_id for r in lin} == {"killed", "resume"}
 
     # a third invocation recomputes nothing (no new lineage rows)
@@ -57,5 +62,5 @@ def test_metrics_recorded(spark, tmp_path):
     run_checkpointed(spark, t, store, run_id="m1")
     m = store.metrics().collect()
     stages = {r.stage for r in m}
-    assert "parsed" in stages and "triples" in stages
+    assert "annotated" in stages and "triples" in stages
     assert all(r.value >= 0 for r in m)
