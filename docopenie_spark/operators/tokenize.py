@@ -174,11 +174,18 @@ def _chunk(tags: list[str], words: list[str]) -> list[str]:
     return out
 
 
-def tokenize_sentence(text: str) -> list[dict]:
+# token tuple layout — plain tuples instead of dicts: the tokenizer runs
+# inside the fused hot loop where dict allocation is measurable memory
+# traffic (the host's concurrency inflation is bandwidth-bound)
+TOK, START, POS, CHUNK, LEMMA = range(5)
+
+
+def tokenize_sentence(text: str) -> list[tuple]:
     """Deterministic tokenize+tag+chunk+lemma for one sentence.
 
-    Returns aligned dicts {token, start, pos, chunk, lemma}; pure Python so
-    unit tests and the extraction UDF share one implementation.
+    Returns aligned (token, start, pos, chunk, lemma) tuples (see
+    TOK/START/POS/CHUNK/LEMMA); pure Python so unit tests and the
+    extraction UDF share one implementation.
     """
     toks = [(m.group(), m.start()) for m in _TOKEN_RE.finditer(text)]
     words, starts = [t[0] for t in toks], [t[1] for t in toks]
@@ -197,10 +204,7 @@ def tokenize_sentence(text: str) -> list[dict]:
         lemmas.append(lemma)
     chunks = _chunk(tags, words)
     assert len(chunks) == len(words)  # ParsedKbpSentence.scala:18 invariant
-    return [
-        {"token": w, "start": s, "pos": t, "chunk": c, "lemma": l}
-        for w, s, t, c, l in zip(words, starts, tags, chunks, lemmas)
-    ]
+    return list(zip(words, starts, tags, chunks, lemmas))
 
 
 def parsed_sentences(sent_df: DataFrame) -> DataFrame:
@@ -209,13 +213,7 @@ def parsed_sentences(sent_df: DataFrame) -> DataFrame:
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             b = b.copy()
-            b["tokens"] = [
-                [
-                    (d["token"], d["start"], d["pos"], d["chunk"], d["lemma"])
-                    for d in tokenize_sentence(t)
-                ]
-                for t in b["text"]
-            ]
+            b["tokens"] = [tokenize_sentence(t) for t in b["text"]]
             yield b
 
     return sent_df.mapInPandas(parse, schema=schemas.PARSED_SENTENCES)

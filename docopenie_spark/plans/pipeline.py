@@ -57,6 +57,7 @@ def run_pipeline(
     gazetteer_rows: list[tuple] | None = None,
     with_linking: bool = True,
     with_coref_expansion: bool = True,
+    fabricate_metadata: bool = False,
     cache: bool = True,
 ) -> PipelineResult:
     """Build the full DAG. With cache=True the fan-out points (parsed
@@ -74,6 +75,9 @@ def run_pipeline(
     def _p(df: DataFrame) -> DataFrame:
         return df.persist(StorageLevel.MEMORY_AND_DISK) if cache else df
 
+    if fabricate_metadata:
+        # S6: role/ts metadata becomes mention-bearing fabricated turns
+        transcripts = assembly.fabricated_metadata_turns(transcripts)
     turns = assembly.with_turn_offsets(transcripts)
     docs = assembly.doc_text_salted(transcripts)  # full strings: tests/queries only
     # the rule engine consumes BOUNDED chunks — the hot conversation never

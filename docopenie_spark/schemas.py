@@ -82,11 +82,13 @@ PARSED_SENTENCES = StructType(
     ]
 )
 
+# token_indices were dropped in round 2: no downstream consumer (arg
+# cleaning is regex-based, confidence needs only a count) — they cost a
+# list allocation per part plus Arrow array serialization in the hot loop
 EXTRACTION_PART = StructType(
     [
         StructField("text", StringType(), False),
         StructField("offset", LongType(), False),  # doc-level char offset
-        StructField("token_indices", ArrayType(IntegerType(), False), False),
     ]
 )
 

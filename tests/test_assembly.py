@@ -56,3 +56,32 @@ def test_hot_conversation_skew_exists(spark):
     counts = {r.conv_id: r["count"] for r in t.groupBy("conv_id").count().collect()}
     total = sum(counts.values())
     assert counts["conv_hot"] / total == 0.1
+
+
+def test_fabricated_metadata_turns(spark):
+    """S6 (KbpDoc.scala:37-103 analogue): the gate synthesizes author and
+    date turns that survive assembly (real offsets, invariant holds) and
+    produce extractable metadata triples."""
+    import pyspark.sql.functions as F
+
+    from docopenie_spark.plans.pipeline import run_pipeline
+
+    t = datagen.transcripts_df(spark, 80)
+    fab = assembly.fabricated_metadata_turns(t)
+    extra = fab.count() - t.count()
+    n_convs = t.select("conv_id").distinct().count()
+    assert extra == 2 * n_convs  # one author + one date turn per conv
+
+    # the invariant must hold WITH fabricated turns in the doc
+    viol = assembly.turn_equality_violations(
+        assembly.with_turn_offsets(fab), assembly.doc_text_salted(fab)
+    )
+    assert viol.isEmpty()
+
+    r = run_pipeline(spark, t, fabricate_metadata=True)
+    meta = r.triples.where(F.col("pred").contains("written")).collect()
+    assert meta, "fabricated sentences must yield metadata triples"
+    assert any("written by" in m.pred for m in meta)
+    # default pipeline stays gated off
+    r0 = run_pipeline(spark, t)
+    assert r0.triples.where(F.col("pred").contains("written by")).isEmpty()

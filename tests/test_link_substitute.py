@@ -74,9 +74,9 @@ def test_context_disambiguates_same_alias_entries(spark):
     sent_text = "The Meridian staged a new play with local actors tonight ."
     triples_raw = spark.createDataFrame(
         [("c1", 0, 0,
-          ("The Meridian", 0, [0, 1]),
-          ("staged", 13, [2]),
-          ("a new play", 20, [3, 4, 5]),
+          ("The Meridian", 0),
+          ("staged", 13),
+          ("a new play", 20),
           0.9, "verb")],
         schemas.TRIPLES_RAW,
     )
@@ -118,9 +118,9 @@ def test_arg_context_extends_through_coref_siblings(spark):
     s2 = "Critics praised the drama on stage ."
     triples_raw = spark.createDataFrame(
         [("c1", 0, 0,
-          ("The Meridian", 0, [0, 1]),
-          ("announced", 13, [2]),
-          ("a merger", 23, [3, 4]),
+          ("The Meridian", 0),
+          ("announced", 13),
+          ("a merger", 23),
           0.9, "verb")],
         schemas.TRIPLES_RAW,
     )

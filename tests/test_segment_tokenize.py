@@ -63,14 +63,14 @@ def test_tokens_aligned_to_sentence():
     text = "Alice Navarro, founder of the Global Data Consortium, lives in Austin, TX."
     toks = tokenize.tokenize_sentence(text)
     for d in toks:
-        assert text[d["start"] : d["start"] + len(d["token"])] == d["token"]
+        assert text[d[tokenize.START] : d[tokenize.START] + len(d[tokenize.TOK])] == d[tokenize.TOK]
     # chunk array aligned 1:1 (ParsedKbpSentence.scala:18 invariant)
-    assert len(toks) == len([d["chunk"] for d in toks])
+    assert len(toks) == len([d[tokenize.CHUNK] for d in toks])
 
 
 def test_pos_sanity():
     toks = tokenize.tokenize_sentence("He said the report was finished on time.")
-    tags = {d["token"]: d["pos"] for d in toks}
+    tags = {d[tokenize.TOK]: d[tokenize.POS] for d in toks}
     assert tags["He"] == "PRP"
     assert tags["said"] == "VBD"
     assert tags["the"] == "DT"
