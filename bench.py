@@ -55,6 +55,13 @@ def main():
         timings[name] = round(time.time() - t0, 3)
         return out
 
+    # warmup: the full code path on a small slice so the timed numbers
+    # measure the queries, not JVM/Arrow/Python-worker bring-up (the
+    # driver runs this script cold; a long-lived cluster amortizes it)
+    run_pipeline(spark, datagen.transcripts_df(spark, 2000)).triples.count()
+    dedup.minhash_dedup(docs.limit(50), "doc_id", "text").count()
+    dedup.simhash_near_dups(dedup.simhash(docs.limit(50), "doc_id", "text")).count()
+
     # flagship: full KG pipeline over seeded transcripts
     transcripts = datagen.transcripts_df(spark, n_turns)
     n_triples = timed(

@@ -65,3 +65,11 @@ def sentence_keep(col: Column | str) -> Column:
 def asciify_py(s: str) -> str:
     """Driver/UDF-side twin of :func:`asciify` (same map, for pandas ops)."""
     return s.translate(str.maketrans(_ASCII_MAP))
+
+
+_INLINE_WS = {ord("\n"): " ", ord("\t"): " ", ord("\r"): " "}
+
+
+def normalize_inline_ws_py(s: str) -> str:
+    """Python twin of :func:`normalize_inline_ws` (streaming state UDF)."""
+    return s.translate(_INLINE_WS)

@@ -58,3 +58,102 @@ def ingest_available_now(
 
 def read_ingested(spark: SparkSession, table_dir: str):
     return spark.read.parquet(table_dir).drop(BUCKET_COL)
+
+
+# ------------------------------------------------ stateful extraction
+
+_STATE_DDL = (
+    "next_off long, next_idx int, pend_idx array<int>, pend_text array<string>"
+)
+_OUT_DDL = (
+    "conv_id string, turn_idx int, sent_num int, "
+    "arg1_text string, arg1_offset bigint, rel_text string, rel_offset bigint, "
+    "arg2_text string, arg2_offset bigint, confidence double, extractor string"
+)
+
+
+def _extract_update(key, pdfs, state):
+    """Per-conversation stateful turn assembly + extraction.
+
+    State carries the conversation's RUNNING char offset and next expected
+    turn index, plus a buffer of out-of-order turns; each micro-batch
+    extends the assembled document exactly as the batch pipeline's
+    turn-offset scan would — emitted offsets are identical to a batch run
+    over the same turns (asserted by test_streaming)."""
+    import pandas as pd
+
+    from ..functions.textnorm import asciify_py, normalize_inline_ws_py
+    from ..operators.extract import extract_sentence
+    from ..operators.fused import _keep
+    from ..operators.segment import segment_turn
+    from ..operators.tokenize import tokenize_sentence
+
+    conv_id = key[0]
+    if state.exists:
+        next_off, next_idx, pend_idx, pend_text = state.get
+        pending = dict(zip(list(pend_idx), list(pend_text)))
+    else:
+        next_off, next_idx, pending = 0, 0, {}
+
+    for pdf in pdfs:
+        for r in pdf.itertuples():
+            pending[int(r.turn_idx)] = r.text
+
+    rows = []
+    while next_idx in pending:
+        raw = pending.pop(next_idx)
+        text = normalize_inline_ws_py(asciify_py(raw))
+        for i, (local, s) in enumerate(segment_turn(text)):
+            if _keep(s):
+                toks = tokenize_sentence(s)
+                off = next_off + local
+                for a1, rel, a2, conf, ext in extract_sentence(toks, s):
+                    rows.append((
+                        conv_id, next_idx, i,
+                        a1[0], off + a1[1], rel[0], off + rel[1],
+                        a2[0], off + a2[1], conf, ext,
+                    ))
+        next_off += len(raw) + 1  # the assembly SEP
+        next_idx += 1
+
+    keys = sorted(pending)
+    state.update((next_off, next_idx, keys, [pending[k] for k in keys]))
+    if rows:
+        yield pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "sent_num",
+                     "arg1_text", "arg1_offset", "rel_text", "rel_offset",
+                     "arg2_text", "arg2_offset", "confidence", "extractor"],
+        )
+
+
+def streaming_extract(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Custom stateful streaming operator (SURVEY.md §2.9 upgrade): as
+    turn files land, ``applyInPandasWithState`` keeps per-conversation
+    (running offset, next turn index, out-of-order buffer) state and
+    emits extraction rows INCREMENTALLY with exactly the offsets a batch
+    run over the full conversation would produce. Exactly-once via the
+    streaming checkpoint; drain-and-stop via availableNow."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schemas.TRANSCRIPTS).parquet(input_dir)
+    out = stream.groupBy("conv_id").applyInPandasWithState(
+        _extract_update,
+        outputStructType=_OUT_DDL,
+        stateStructType=_STATE_DDL,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
