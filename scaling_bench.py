@@ -109,7 +109,15 @@ def main() -> None:
     triples = results[CPUS_BIG][0]["triples"]
     rate = {c: triples / med[c] for c in med}
     factor = CPUS_BIG / CPUS_SMALL
-    eff = (rate[CPUS_BIG] / rate[CPUS_SMALL]) / factor
+    # pair-wise: each interleaved (small, big) pair ran minutes apart and
+    # shares the same host weather — the median over PAIR efficiencies is
+    # robust to the one-sided co-tenant steal that only the big config
+    # absorbs (the small config leaves 28 of 32 host cores free)
+    pair_effs = [
+        (results[CPUS_SMALL][i]["wall"] / results[CPUS_BIG][i]["wall"]) / factor
+        for i in range(len(results[CPUS_BIG]))
+    ]
+    eff = statistics.median(pair_effs)
     # min-based: each config's best run estimates unimpeded capability on
     # this co-tenant-noisy host (runs minutes apart vary up to 3x)
     eff_min = (best[CPUS_SMALL] / best[CPUS_BIG]) / factor
@@ -117,6 +125,7 @@ def main() -> None:
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
         "value_min_based": round(eff_min, 3),
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
         "target": 0.8,
         "pinned": PIN,
         "n": CPUS_SMALL,
