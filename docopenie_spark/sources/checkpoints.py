@@ -32,6 +32,7 @@ else changes.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 
@@ -92,27 +93,42 @@ class StageStore:
         them. ``input_fps`` carries the per-bucket INPUT fingerprints
         (run_resumable computes them); without it the fingerprint of the
         written output is recorded. Returns the run_id."""
+        from pyspark import StorageLevel
+
         run_id = run_id or uuid.uuid4().hex[:12]
         attempted = sorted(only_buckets) if only_buckets is not None else list(range(self.buckets))
         t0 = time.time()
         b = with_bucket(df, key, self.buckets)
         if only_buckets is not None:
             b = b.where(F.col(BUCKET_COL).isin(attempted))
-        (
-            b.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(BUCKET_COL)
-            .parquet(self._path(stage))
-        )
+        # persist so stats and the write share ONE computation of the
+        # output; stats MUST come from the output itself, never from a
+        # read-back of the directory — a read-back would conflate fresh
+        # rows with stale data left by a previous killed run in attempted
+        # buckets whose recomputed output is empty (dynamic overwrite only
+        # replaces partitions PRESENT in the output).
+        b = b.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            stats = _bucket_stats(b, key)
+            (
+                b.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(BUCKET_COL)
+                .parquet(self._path(stage))
+            )
+            # clear attempted buckets absent from the output, so a lineage
+            # row_count of 0 always corresponds to an actually-empty bucket
+            # (Iceberg's overwritePartitions over an explicit bucket
+            # predicate does this natively; parquet dirs need the rm).
+            for bk in attempted:
+                if bk not in stats:
+                    shutil.rmtree(
+                        os.path.join(self._path(stage), f"{BUCKET_COL}={bk}"),
+                        ignore_errors=True,
+                    )
+        finally:
+            b.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
-
-        # lineage from the just-written buckets only: partition-pruned to
-        # ``attempted`` and column-pruned to ``key`` — O(written), never a
-        # rescan of other runs' buckets.
-        written = self.spark.read.parquet(self._path(stage)).where(
-            F.col(BUCKET_COL).isin(attempted)
-        )
-        stats = _bucket_stats(written, key)
         rows = []
         for bk in attempted:
             n, out_fp = stats.get(bk, (0, "0"))
@@ -135,11 +151,13 @@ class StageStore:
     def read_stage(self, stage: str, committed_only: bool = True) -> DataFrame:
         """The stage table, restricted to lineage-committed buckets:
         data whose lineage write never landed (a kill between the two
-        writes) stays invisible until resume overwrites it."""
+        writes) stays invisible until resume overwrites it — including
+        when NO lineage write ever landed (zero committed buckets means
+        zero visible rows, not everything)."""
         df = self.spark.read.parquet(self._path(stage))
-        if committed_only and os.path.exists(self._lineage_path()):
+        if committed_only:
             done = self.done_buckets(stage)
-            df = df.where(F.col(BUCKET_COL).isin(done))
+            df = df.where(F.col(BUCKET_COL).isin(done) if done else F.lit(False))
         return df.drop(BUCKET_COL)
 
     def lineage(self) -> DataFrame:

@@ -99,6 +99,53 @@ def test_crash_between_data_and_lineage_no_duplicates(spark, tmp_path):
     assert resumed.count() == fresh.count()  # overwrite, not append
 
 
+def test_crash_then_resume_with_filtering_fn_no_stale_rows(spark, tmp_path):
+    """ADVICE r2 (medium): a run killed before its lineage write leaves
+    stale data; the resume's fn produces NO rows for some of those
+    buckets. Dynamic overwrite only replaces partitions present in the
+    output, so without the explicit clear the stale rows would survive,
+    get a lineage row, and become visible via read_stage."""
+    import shutil
+
+    t = datagen.transcripts_df(spark, 240)
+
+    def fn_all(df):
+        return df.groupBy("conv_id").agg(F.count(F.lit(1)).alias("n_turns"))
+
+    def fn_hot(df):
+        return fn_all(df).where(F.col("conv_id") == "conv_hot")
+
+    fresh = fn_hot(t)
+    store = StageStore(spark, str(tmp_path / "cp"), buckets=8)
+    # killed run: FULL output landed, lineage never did
+    store.write_stage("agg", fn_all(t), run_id="killed")
+    shutil.rmtree(str(tmp_path / "cp" / "_lineage"))
+    # resume with the FILTERING fn: buckets whose new output is empty
+    # must end up actually empty, not showing the killed run's rows
+    resumed = store.run_resumable("agg", t, fn_hot, run_id="resume")
+    assert resumed.exceptAll(fresh).isEmpty()
+    assert fresh.exceptAll(resumed).isEmpty()
+    assert resumed.count() == fresh.count()
+    # lineage row_count 0 corresponds to actually-empty buckets
+    lin = store.lineage().where(F.col("stage") == "agg").collect()
+    committed = sum(r.row_count for r in lin)
+    assert committed == fresh.count()
+
+
+def test_read_stage_invisible_when_no_lineage_ever_landed(spark, tmp_path):
+    """ADVICE r2 (low): a crash before ANY lineage write leaves orphaned
+    stage data; committed_only must hide it (zero committed buckets ⇒
+    zero visible rows), not fall back to returning everything."""
+    import shutil
+
+    store = StageStore(spark, str(tmp_path / "cp"), buckets=8)
+    t = datagen.transcripts_df(spark, 80)
+    store.write_stage("s", t, run_id="killed")
+    shutil.rmtree(str(tmp_path / "cp" / "_lineage"))
+    assert store.read_stage("s").count() == 0
+    assert store.read_stage("s", committed_only=False).count() == 80
+
+
 def test_empty_buckets_get_lineage_and_short_circuit(spark, tmp_path):
     """Buckets whose output is legitimately empty are recorded (row_count
     0) so the next resume never recomputes them (ADVICE item: empty
