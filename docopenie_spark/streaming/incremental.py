@@ -72,59 +72,92 @@ _OUT_DDL = (
 )
 
 
-def _extract_update(key, pdfs, state):
-    """Per-conversation stateful turn assembly + extraction.
+def _make_extract_update(max_gap: int | None):
+    """Build the per-conversation stateful update fn.
 
     State carries the conversation's RUNNING char offset and next expected
     turn index, plus a buffer of out-of-order turns; each micro-batch
     extends the assembled document exactly as the batch pipeline's
     turn-offset scan would — emitted offsets are identical to a batch run
-    over the same turns (asserted by test_streaming)."""
-    import pandas as pd
+    over the same turns (asserted by test_streaming).
 
-    from ..functions.textnorm import asciify_py, normalize_inline_ws_py
-    from ..operators.extract import extract_sentence
-    from ..operators.fused import _keep
-    from ..operators.segment import segment_turn
-    from ..operators.tokenize import tokenize_sentence
+    ``max_gap`` bounds the out-of-order buffer (VERDICT r2 #7): once the
+    buffered turns span more than ``max_gap`` indexes past the next
+    expected one, the missing index(es) are declared lost — the buffer
+    drains from its smallest present index, assembling exactly what a
+    batch run over the turns that actually arrived would. A gap-closing
+    turn arriving after the skip is LATE DATA and is dropped (its offsets
+    were already assigned to later turns). Only the buffer is evicted;
+    the scalar (offset, next index) state persists so post-skip turns
+    keep correct offsets. (A wall-clock GroupStateTimeout is the other
+    bounding lever, but processing-time timeouts never fire under the
+    availableNow drain-and-stop trigger this module uses — the query
+    loops micro-batches forever waiting for them — so the bound is
+    expressed in turn-index space, which is also deterministic to test.)
+    """
 
-    conv_id = key[0]
-    if state.exists:
-        next_off, next_idx, pend_idx, pend_text = state.get
-        pending = dict(zip(list(pend_idx), list(pend_text)))
-    else:
-        next_off, next_idx, pending = 0, 0, {}
+    def _extract_update(key, pdfs, state):
+        import pandas as pd
 
-    for pdf in pdfs:
-        for r in pdf.itertuples():
-            pending[int(r.turn_idx)] = r.text
+        from ..functions.textnorm import asciify_py, normalize_inline_ws_py
+        from ..operators.extract import extract_sentence
+        from ..operators.fused import _keep
+        from ..operators.segment import segment_turn
+        from ..operators.tokenize import tokenize_sentence
 
-    rows = []
-    while next_idx in pending:
-        raw = pending.pop(next_idx)
-        text = normalize_inline_ws_py(asciify_py(raw))
-        for i, (local, s) in enumerate(segment_turn(text)):
-            if _keep(s):
-                toks = tokenize_sentence(s)
-                off = next_off + local
-                for a1, rel, a2, conf, ext in extract_sentence(toks, s):
-                    rows.append((
-                        conv_id, next_idx, i,
-                        a1[0], off + a1[1], rel[0], off + rel[1],
-                        a2[0], off + a2[1], conf, ext,
-                    ))
-        next_off += len(raw) + 1  # the assembly SEP
-        next_idx += 1
+        conv_id = key[0]
+        if state.exists:
+            next_off, next_idx, pend_idx, pend_text = state.get
+            pending = dict(zip(list(pend_idx), list(pend_text)))
+        else:
+            next_off, next_idx, pending = 0, 0, {}
 
-    keys = sorted(pending)
-    state.update((next_off, next_idx, keys, [pending[k] for k in keys]))
-    if rows:
-        yield pd.DataFrame(
-            rows,
-            columns=["conv_id", "turn_idx", "sent_num",
-                     "arg1_text", "arg1_offset", "rel_text", "rel_offset",
-                     "arg2_text", "arg2_offset", "confidence", "extractor"],
-        )
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                idx = int(r.turn_idx)
+                if idx >= next_idx:  # < next_idx: late after a gap skip
+                    pending[idx] = r.text
+
+        rows = []
+
+        def emit(idx: int, raw: str, off0: int) -> int:
+            text = normalize_inline_ws_py(asciify_py(raw))
+            for i, (local, s) in enumerate(segment_turn(text)):
+                if _keep(s):
+                    toks = tokenize_sentence(s)
+                    off = off0 + local
+                    for a1, rel, a2, conf, ext in extract_sentence(toks, s):
+                        rows.append((
+                            conv_id, idx, i,
+                            a1[0], off + a1[1], rel[0], off + rel[1],
+                            a2[0], off + a2[1], conf, ext,
+                        ))
+            return off0 + len(raw) + 1  # the assembly SEP
+
+        while True:
+            while next_idx in pending:
+                next_off = emit(next_idx, pending.pop(next_idx), next_off)
+                next_idx += 1
+            if (
+                max_gap is not None
+                and pending
+                and max(pending) - next_idx + 1 > max_gap
+            ):
+                next_idx = min(pending)  # the missing index(es) are lost
+            else:
+                break
+
+        keys = sorted(pending)
+        state.update((next_off, next_idx, keys, [pending[k] for k in keys]))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["conv_id", "turn_idx", "sent_num",
+                         "arg1_text", "arg1_offset", "rel_text", "rel_offset",
+                         "arg2_text", "arg2_offset", "confidence", "extractor"],
+            )
+
+    return _extract_update
 
 
 def streaming_extract(
@@ -132,18 +165,25 @@ def streaming_extract(
     input_dir: str,
     output_dir: str,
     checkpoint_dir: str,
+    max_gap: int | None = None,
 ) -> None:
     """Custom stateful streaming operator (SURVEY.md §2.9 upgrade): as
     turn files land, ``applyInPandasWithState`` keeps per-conversation
     (running offset, next turn index, out-of-order buffer) state and
     emits extraction rows INCREMENTALLY with exactly the offsets a batch
     run over the full conversation would produce. Exactly-once via the
-    streaming checkpoint; drain-and-stop via availableNow."""
+    streaming checkpoint; drain-and-stop via availableNow.
+
+    ``max_gap`` bounds the out-of-order buffer (see
+    ``_make_extract_update``): a conversation stuck on a missing turn
+    index skips it once the buffered turns span more than ``max_gap``
+    indexes, instead of accumulating every later turn in state forever.
+    """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     stream = spark.readStream.schema(schemas.TRANSCRIPTS).parquet(input_dir)
     out = stream.groupBy("conv_id").applyInPandasWithState(
-        _extract_update,
+        _make_extract_update(max_gap),
         outputStructType=_OUT_DDL,
         stateStructType=_STATE_DDL,
         outputMode="append",

@@ -25,6 +25,72 @@ def test_available_now_exactly_once(spark, tmp_path):
     assert read_ingested(spark, tbl).count() == 120
 
 
+def test_max_gap_bounds_buffer_and_drops_late_gap_closer(spark, tmp_path):
+    """VERDICT r2 #7: the out-of-order buffer is bounded. Once buffered
+    turns span more than ``max_gap`` indexes past a permanently-missing
+    one, the missing index is skipped and the buffer drains — extracting
+    with the offsets a batch run over the DELIVERED turns would assign —
+    and a gap-closing turn arriving after the skip is late data
+    (dropped). Turns after the skip keep correct offsets."""
+    import pyspark.sql.functions as F
+
+    from docopenie_spark.operators import assembly, fused
+    from docopenie_spark.plans.pipeline import default_dictionaries
+    from docopenie_spark.streaming.incremental import streaming_extract
+
+    inp = str(tmp_path / "gin")
+    out = str(tmp_path / "gout")
+    cp = str(tmp_path / "gcp")
+
+    t = datagen.transcripts_df(spark, 160).cache()
+    mine = sorted(
+        r.conv_id for r in t.select("conv_id").distinct().collect()
+        if r.conv_id != "conv_hot"
+    )[0]
+    m = t.where(F.col("conv_id") == mine)
+
+    # batch 1: turns 0,1,3,4 — turn 2 missing; buffered span (3..4) is
+    # within max_gap=3, so 3,4 stay buffered
+    m.where(F.col("turn_idx").isin(0, 1, 3, 4)).write.mode("append").parquet(inp)
+    streaming_extract(spark, inp, out, cp, max_gap=3)
+    first = spark.read.parquet(out)
+    assert first.where(F.col("turn_idx") > 1).isEmpty()
+
+    # batch 2: turns 5,6 arrive — the buffer now spans 3..6 (> max_gap
+    # past the missing index 2): turn 2 is declared lost, 3..6 drain
+    m.where(F.col("turn_idx").isin(5, 6)).write.mode("append").parquet(inp)
+    streaming_extract(spark, inp, out, cp, max_gap=3)
+    flushed = spark.read.parquet(out).where(F.col("conv_id") == mine)
+    assert not flushed.where(F.col("turn_idx").isin(3, 4, 5, 6)).isEmpty()
+
+    # the gap closes late: turn 2 arrives (dropped) along with turn 7
+    m.where(F.col("turn_idx").isin(2, 7)).write.mode("append").parquet(inp)
+    streaming_extract(spark, inp, out, cp, max_gap=3)
+
+    got = spark.read.parquet(out).where(F.col("conv_id") == mine).select(
+        "conv_id", "turn_idx", "sent_num",
+        "arg1_text", "arg1_offset", "rel_text", "rel_offset",
+        "arg2_text", "arg2_offset", "confidence", "extractor",
+    )
+    assert got.where(F.col("turn_idx") == 2).isEmpty(), "late gap-closer not dropped"
+
+    # ≡ batch pipeline over the turns that were actually PROCESSED
+    fn, gz, ln = default_dictionaries()
+    delivered = m.where(F.col("turn_idx") != 2)
+    batch = fused.split_triples(
+        fused.parse_extract_annotate(assembly.with_turn_offsets(delivered), fn, gz, ln)
+    ).select(
+        "conv_id", "turn_idx", "sent_num",
+        F.col("arg1.text").alias("arg1_text"), F.col("arg1.offset").alias("arg1_offset"),
+        F.col("rel.text").alias("rel_text"), F.col("rel.offset").alias("rel_offset"),
+        F.col("arg2.text").alias("arg2_text"), F.col("arg2.offset").alias("arg2_offset"),
+        "confidence", "extractor",
+    )
+    assert got.exceptAll(batch).isEmpty(), "streaming ⊄ batch-over-delivered"
+    assert batch.exceptAll(got).isEmpty(), "batch-over-delivered ⊄ streaming"
+    assert got.count() == batch.count() > 0
+
+
 def test_stateful_streaming_extract_matches_batch(spark, tmp_path):
     """applyInPandasWithState incremental extraction: turns arriving over
     two micro-batches WITH an out-of-order gap must emit exactly the
