@@ -157,8 +157,15 @@ def fabricated_metadata_turns(transcripts: DataFrame) -> DataFrame:
     Gated OFF by default in run_pipeline (SURVEY S6): the metadata
     already survives as queryable columns; enable it when downstream
     consumers need author/date as graph triples."""
-    mx = transcripts.groupBy("conv_id").agg(F.max("turn_idx").alias("_mx"))
-    t0 = transcripts.where(F.col("turn_idx") == 0).join(mx, "conv_id")
+    # anchor on the conversation's FIRST PRESENT turn, not literal index
+    # 0 — a trimmed conversation (first turns dropped upstream) must still
+    # fabricate its metadata turns (VERDICT r2 #8)
+    bounds = transcripts.groupBy("conv_id").agg(
+        F.min("turn_idx").alias("_mn"), F.max("turn_idx").alias("_mx")
+    )
+    t0 = transcripts.join(bounds, "conv_id").where(
+        F.col("turn_idx") == F.col("_mn")
+    ).drop("_mn")
     author = t0.select(
         "conv_id",
         (F.col("_mx") + 1).cast("int").alias("turn_idx"),

@@ -78,6 +78,16 @@ def test_fabricated_metadata_turns(spark):
     )
     assert viol.isEmpty()
 
+    # trimmed conversations (first turn index != 0) still fabricate:
+    # the anchor is min(turn_idx), not literal 0 (VERDICT r2 #8)
+    trimmed = t.where(F.col("turn_idx") >= 3)
+    fab_t = assembly.fabricated_metadata_turns(trimmed)
+    n_convs_t = trimmed.select("conv_id").distinct().count()
+    assert fab_t.count() - trimmed.count() == 2 * n_convs_t
+    assert assembly.turn_equality_violations(
+        assembly.with_turn_offsets(fab_t), assembly.doc_text_salted(fab_t)
+    ).isEmpty()
+
     r = run_pipeline(spark, t, fabricate_metadata=True)
     meta = r.triples.where(F.col("pred").contains("written")).collect()
     assert meta, "fabricated sentences must yield metadata triples"
