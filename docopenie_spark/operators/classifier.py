@@ -62,9 +62,18 @@ _B = 256  # chars per offset bucket (same containment-join pattern as J3)
 
 def with_bem_index(bems: DataFrame) -> DataFrame:
     """Stable per-conversation index — the reference's
-    doc.bestMentions.zipWithIndex (ResolvedBestMentionWriter.scala:44-48)."""
+    doc.bestMentions.zipWithIndex (ResolvedBestMentionWriter.scala:44-48).
+
+    The orderBy covers every discriminating column so the index is
+    REPRODUCIBLE across runs (zipWithIndex within one materialized doc is
+    stable; a row_number over a partial key would tie-break by partition
+    order) — a labeled training TSV keyed on doc_bem_index must align
+    when joined back against regenerated features."""
     w = Window.partitionBy("conv_id").orderBy(
-        F.col("target.offset"), "kind", "best_mention"
+        F.col("target.offset"), "kind", "best_mention",
+        F.col("target.text"), F.col("target.entity_type"),
+        "candidate_count", F.col("best_entity.offset"),
+        F.col("container_entity.offset"), F.col("contained_entity.offset"),
     )
     return bems.withColumn("bem_index", F.row_number().over(w) - 1)
 

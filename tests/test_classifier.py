@@ -131,3 +131,32 @@ def test_training_tsv_roundtrip(spark, bems, empty_clusters, tmp_path):
     b = {(r.doc_id, r.doc_bem_index): round(r.f_ambiguous_candidate_count, 2)
          for r in rows.collect()}
     assert a == b
+
+
+def test_bem_index_deterministic_under_ties_and_partitioning(spark):
+    """ADVICE r2: rows tying on (target.offset, kind, best_mention) must
+    get the SAME bem_index on every run regardless of partitioning — a
+    labeled TSV keyed on doc_bem_index joins back against regenerated
+    features only if the index is reproducible."""
+    rows = [
+        # three rows tying on offset+kind+best_mention, differing only in
+        # target.text / entity_type / candidate_count
+        _bem("c1", "identity", "Austin", 300, "LOCATION", "Austin", count=2.0),
+        _bem("c1", "identity", "Austin", 300, "CITY", "Austin", count=1.0),
+        _bem("c1", "identity", "AUSTIN", 300, "LOCATION", "Austin", count=1.0),
+        _bem("c1", "full", "GDC", 10, "ORGANIZATION", "Global Data Consortium",
+             be=("Global Data Consortium", 40, "Global Data Consortium",
+                 "ORGANIZATION")),
+    ]
+    df = spark.createDataFrame(rows, schemas.BEST_MENTIONS)
+
+    def key(r):
+        return (r.conv_id, r.kind, r.target.text, r.target.entity_type,
+                r.candidate_count)
+
+    a = {key(r): r.bem_index
+         for r in clf.with_bem_index(df.repartition(7)).collect()}
+    b = {key(r): r.bem_index
+         for r in clf.with_bem_index(df.coalesce(1)).collect()}
+    assert a == b
+    assert sorted(a.values()) == [0, 1, 2, 3]
