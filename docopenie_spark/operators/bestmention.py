@@ -286,8 +286,9 @@ def _nearest_occ(offs: list[int], off: int) -> tuple[int, int]:
 
 def _res(kind, best, ent, count, matches=None, contained=None):
     """Rule result. ent/contained = (text, name, occurrence_offset);
-    matches = {disp: (ent_name, sorted_offs)} when more than one candidate
-    name matched (the pick is then offset-dependent, ref :129-132)."""
+    matches = sorted [(disp, ent_name, sorted_offs)] when more than one
+    candidate entry matched (the pick is then offset-dependent, ref
+    :129-132)."""
     return {
         "kind": kind, "best": best, "ent": ent, "count": count,
         "matches": matches, "contained": contained,
@@ -297,15 +298,22 @@ def _res(kind, best, ent, count, matches=None, contained=None):
 def _pick(kind: str, matching: dict, off: int):
     """Nearest-occurrence proximity selection — reproduces the reference's
     sortBy(|cand.offset - entity.offset|).head (ref :129-132); count =
-    1/|distinct names| (ref :433). Tie order (distance, occurrence, disp,
-    ent) matches the native dep-path array_min EXACTLY."""
-    norm = {d: (e, sorted(o)) for d, (e, o) in matching.items()}
+    1/|distinct display names| (ref :433). Tie order (distance,
+    occurrence, disp, ent) matches the native dep-path array_min EXACTLY.
+
+    ``matching`` is keyed by (display, candidate entity name) with the
+    offsets OF THAT CANDIDATE — two candidates renaming to the same
+    display stay separate entries, so the emitted entity text and
+    occurrence offset always come from the same candidate (the reference's
+    acronymMatches.head keeps one consistent candidate; ADVICE r2)."""
+    entries = sorted((d, e, sorted(o)) for (d, e), o in matching.items())
     (dist, occ), disp, ent = min(
-        ((_nearest_occ(offs, off)), d, e) for d, (e, offs) in norm.items()
+        (_nearest_occ(offs, off), d, e) for d, e, offs in entries
     )
     ent_ref = (ent, disp, occ) if kind == "full" else (ent, ent, occ)
-    matches = norm if len(norm) > 1 else None
-    return _res(kind, disp, ent_ref, 1.0 / len(norm), matches)
+    matches = entries if len(entries) > 1 else None
+    return _res(kind, disp, ent_ref,
+                1.0 / len({d for d, _, _ in entries}), matches)
 
 
 # ------------------------------------------------------------- rules
@@ -341,8 +349,7 @@ def best_org(name: str, off: int, org_cands, loc_names, doc: ChunkedDoc,
             for i, cw in enumerate(nw):
                 if cw == tail[0]:
                     disp = " ".join(nw[i:])
-                    prev = acr.get(disp)
-                    acr[disp] = (n, (prev[1] if prev else []) + list(offs))
+                    acr[(disp, n)] = acr.get((disp, n), []) + list(offs)
         if acr:
             return _pick("full", acr, off)
     # probablyOrganization gate: the entity string inside any LOCATION
@@ -362,7 +369,7 @@ def best_org(name: str, off: int, org_cands, loc_names, doc: ChunkedDoc,
     # O-c: case-insensitive char-prefix of a longer one-word candidate
     # (ref :211-225)
     m3 = {
-        n: (n, offs)
+        (n, n): offs
         for n, offs in idx.items()
         if " " not in n and len(n) > len(name) and n.lower().startswith(name.lower())
     }
@@ -404,8 +411,7 @@ def best_loc(name: str, off: int, loc_cands, doc: ChunkedDoc, gaz: Gazetteer,
                 new = " ".join(rest[:L]) + ", " + " ".join(rest[L + 1:])
                 if len(new.split()) < 7 and gaz.is_valid_location(new):
                     disp = gaz.expand_abbreviation(location_casing(new))
-                    prev = la.get(disp)
-                    la[disp] = (n, (prev[1] if prev else []) + list(offs))
+                    la[(disp, n)] = la.get((disp, n), []) + list(offs)
     if la:
         return _pick("full", la, off)
     # L-b: mentioned container candidates (ref :295-309, :340-353) — the
@@ -415,7 +421,7 @@ def best_loc(name: str, off: int, loc_cands, doc: ChunkedDoc, gaz: Gazetteer,
         if n.lower() == name.lower() or n == "United States":
             continue
         if gaz.location_contains_location(n, name):
-            lb[location_casing(f"{name}, {n}")] = (n, list(offs))
+            lb[(location_casing(f"{name}, {n}"), n)] = list(offs)
     if lb:
         return _pick("container", lb, off)
     # L-c: doc-regex containment fallback (ref :310-338); name-dependent
@@ -439,14 +445,17 @@ def best_loc(name: str, off: int, loc_cands, doc: ChunkedDoc, gaz: Gazetteer,
         ced_name, cont_name = full[0].strip(), full[1].strip()
         if not gaz.location_contains_location(cont_name, ced_name):
             continue
-        k2 = (container_raw, cont_name)
-        if k2 in counts:
-            counts[k2][0] += 1
+        # count per expanded container NAME (module docstring divergence
+        # (2)): 'MA' and 'Massachusetts' occurrences pool their counts;
+        # provenance fields come from the name's FIRST occurrence
+        if cont_name in counts:
+            counts[cont_name][0] += 1
         else:
-            counts[k2] = [1, coff + int(m.start(2)), contained_raw, coff + int(m.start(1))]
+            counts[cont_name] = [1, container_raw, coff + int(m.start(2)),
+                                 contained_raw, coff + int(m.start(1))]
     res = None
     if counts:
-        (container_raw, cont_name), (cnt, c_off, ced_raw, ced_off) = sorted(
+        cont_name, (cnt, container_raw, c_off, ced_raw, ced_off) = sorted(
             counts.items(), key=lambda kv: (kv[1][0], kv[0])
         )[0]
         # identity demotion (ref :329-334): container equal to the entity
@@ -459,7 +468,7 @@ def best_loc(name: str, off: int, loc_cands, doc: ChunkedDoc, gaz: Gazetteer,
                 "containment",
                 f"{ced_raw}, {cont_name}",
                 (container_raw, cont_name, c_off),
-                1.0 / len({k[1] for k in counts}),
+                1.0 / len(counts),  # keys ARE distinct container names
                 contained=(ced_raw, ced_raw, ced_off),
             )
     if memo is not None:
@@ -481,7 +490,7 @@ def best_person(name: str, off: int, per_cands, doc: ChunkedDoc,
             len(words) < len(nw) < 4
             and (nw[: len(words)] == words or nw[-len(words):] == words)
         ):
-            pa[n] = (n, offs)
+            pa[(n, n)] = offs
     if pa:
         return _pick("full", pa, off)
     # P-b: conservative name regex (ref :395-413), only when probablyPerson;
@@ -499,8 +508,7 @@ def best_person(name: str, off: int, per_cands, doc: ChunkedDoc,
         pb: dict = {}
         for nm, start in hits:
             if name in nm:  # SUBSTRING containment (ref :409)
-                prev = pb.get(nm)
-                pb[nm] = (nm, (prev[1] if prev else []) + [start])
+                pb[(nm, nm)] = pb.get((nm, nm), []) + [start]
         if pb:
             return _pick("full", pb, off)
     return None
@@ -644,7 +652,7 @@ def best_mentions(entities: DataFrame, doc_chunks: DataFrame,
         if dep:
             matches = [
                 {"disp": d, "ent": e, "offs": offs}
-                for d, (e, offs) in sorted(res["matches"].items())
+                for d, e, offs in res["matches"]
             ]
         return (conv_id, typ, name, kind, res["best"], be, ce, cde,
                 res["count"], dep, matches)
@@ -739,7 +747,11 @@ def best_mentions(entities: DataFrame, doc_chunks: DataFrame,
         F.when(is_full, picked_full).alias("best_entity"),
         F.when(~is_full, picked_container).alias("container_entity"),
         F.lit(None).cast(schemas.ENTITY_REF).alias("contained_entity"),
-        (F.lit(1.0) / F.size("matches")).alias("candidate_count"),
+        # 1/|distinct DISPLAYS| — entries are per (display, candidate), so
+        # two candidates renaming to one display count once (≡ _pick)
+        (F.lit(1.0) / F.size(
+            F.array_distinct(F.transform("matches", lambda m: m["disp"]))
+        )).alias("candidate_count"),
         F.lit(None).cast("int").alias("cluster_id"),
     )
     return independent.unionByName(dep_rows)
