@@ -107,3 +107,13 @@ def test_lsh_topk_recalls_identical_vector(spark):
     out = similarity.lsh_topk(emb, emb.where(F.col("vec_id") == 0), dims=16, k=5)
     got = {r.vec_id for r in out.collect()}
     assert 49 in got
+
+
+def test_simhash_plan_has_no_python_stage(docs):
+    """VERDICT r2 #2: the SimHash signature is fully JVM-side — the
+    physical plan must contain no Arrow/Python evaluation node (the
+    minhash plan-shape test is the template)."""
+    sims = dedup.simhash(docs, "doc_id", "text")
+    plan = sims._jdf.queryExecution().executedPlan().toString()
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
+        assert marker not in plan, marker
