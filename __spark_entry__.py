@@ -271,10 +271,15 @@ def _q_kg_eval_diff(spark, sf_dir):
     """EP1 step 5: baseline (rule-engine-only) vs full-pipeline changed
     extractions (EvaluationPrinter.scala:121-180). Rows-only."""
     from docopenie_spark.plans.evaluation import eval_diff
+    from docopenie_spark.plans.pipeline import annotate
 
     t = _kg_transcripts(spark, sf_dir)
-    base = run_pipeline(spark, t, with_linking=False, with_coref_expansion=False)
-    comp = run_pipeline(spark, t)
+    # base and comp share IDENTICAL fused-pass output (only linking and
+    # coref expansion differ) — annotate once, pay the Python pass once
+    ann = annotate(spark, t)
+    base = run_pipeline(spark, t, with_linking=False,
+                        with_coref_expansion=False, annotated=ann)
+    comp = run_pipeline(spark, t, annotated=ann)
     return eval_diff(base.triples, comp.triples, comp.sentences)
 
 

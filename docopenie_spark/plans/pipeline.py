@@ -50,6 +50,32 @@ def default_dictionaries() -> tuple[set[str], set[str], set[str]]:
     return first_names, gaz_names, last_names
 
 
+def annotate(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    gazetteer_rows: list[tuple] | None = None,
+    fabricate_metadata: bool = False,
+    cache: bool = True,
+) -> DataFrame:
+    """The fused segment+tokenize+extract+NER pass alone, persisted —
+    pass the result as ``run_pipeline(..., annotated=)`` to share ONE
+    Python pass across several pipeline variants (VERDICT r2 #3: the
+    differential evaluation runs base and comp over identical annotated
+    output; only linking/expansion differ)."""
+    from pyspark import StorageLevel
+
+    gaz_rows = gazetteer_rows if gazetteer_rows is not None else datagen.gazetteer_rows()
+    first_names, gaz_names, last_names = default_dictionaries()
+    gaz_names |= {r[0] for r in gaz_rows}
+    if fabricate_metadata:
+        transcripts = assembly.fabricated_metadata_turns(transcripts)
+    out = fused.parse_extract_annotate(
+        assembly.with_turn_offsets(transcripts),
+        first_names, gaz_names, last_names, rebalance=False,
+    )
+    return out.persist(StorageLevel.MEMORY_AND_DISK) if cache else out
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -59,13 +85,18 @@ def run_pipeline(
     with_coref_expansion: bool = True,
     fabricate_metadata: bool = False,
     cache: bool = True,
+    annotated: DataFrame | None = None,
 ) -> PipelineResult:
     """Build the full DAG. With cache=True the fan-out points (parsed
     sentences feed BOTH extraction and NER; triples_raw feeds linking AND
     substitution) are persisted so shared prefixes compute once — the
     Spark analogue of the reference's lazy-val memoization per document
     (SURVEY.md §4 row 1). At cluster scale these become checkpoint tables
-    (sources/checkpoints.py) instead of memory."""
+    (sources/checkpoints.py) instead of memory.
+
+    ``annotated`` (from :func:`annotate` over the SAME transcripts and
+    fabrication setting) skips the fused Python pass — callers running
+    several variants (eval_diff base vs comp) pay for it once."""
     from pyspark import StorageLevel
 
     gaz_rows = gazetteer_rows if gazetteer_rows is not None else datagen.gazetteer_rows()
@@ -90,9 +121,10 @@ def run_pipeline(
     # off: the salted turn-offset join already partitions on (conv_id,
     # salt), balanced even for the hot conversation. Sentences, triples
     # and entities are JVM filters over the persisted combined table.
-    annotated = _p(fused.parse_extract_annotate(
-        turns, first_names, gaz_names, last_names, rebalance=False
-    ))
+    if annotated is None:
+        annotated = _p(fused.parse_extract_annotate(
+            turns, first_names, gaz_names, last_names, rebalance=False
+        ))
     sents = fused.split_sentences(annotated)
     triples_raw = fused.split_triples(annotated)
     mentions = fused.split_entities(annotated)

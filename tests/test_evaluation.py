@@ -32,6 +32,26 @@ def test_eval_diff_baseline_vs_full(spark):
     assert n_dup == 0
 
 
+def test_eval_diff_shared_annotated_matches_independent_runs(spark):
+    """VERDICT r2 #3: base/comp built from ONE annotate() pass must emit
+    exactly the rows of two independent run_pipeline calls."""
+    from docopenie_spark.plans.pipeline import annotate
+
+    t = datagen.transcripts_df(spark, 240)
+    indep = eval_diff(
+        run_pipeline(spark, t, with_linking=False, with_coref_expansion=False).triples,
+        run_pipeline(spark, t).triples,
+    )
+    ann = annotate(spark, t)
+    base = run_pipeline(spark, t, with_linking=False,
+                        with_coref_expansion=False, annotated=ann)
+    comp = run_pipeline(spark, t, annotated=ann)
+    shared = eval_diff(base.triples, comp.triples)
+    assert shared.exceptAll(indep).isEmpty()
+    assert indep.exceptAll(shared).isEmpty()
+    assert shared.count() == indep.count() > 0
+
+
 def test_eval_diff_identical_runs_is_empty(spark):
     t = datagen.transcripts_df(spark, 160)
     r = run_pipeline(spark, t)
