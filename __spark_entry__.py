@@ -223,6 +223,47 @@ def _q_embedding_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rank")
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact token-3-gram jaccard over all pairs of a doc subset
+    (VERDICT r2 #5). Oracles ngram_sets + the intersect/union jaccard
+    directly; the LSH-candidate-bounded ngram_jaccard_pairs operator is
+    pytest-covered — candidate generation is probabilistic (the corpus
+    genuinely contains template near-dups at jaccard 0.5-0.99, where
+    per-pair band-collision odds are not 1), so an all-pairs oracle over
+    it could flake by design, never by bug."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") < 200).select("doc_id", "text")
+    g = dedup.ngram_sets(d, "doc_id", "text", n=3)
+    a = g.select(F.col("id").alias("id_a"), F.col("grams").alias("g_a"))
+    b = g.select(F.col("id").alias("id_b"), F.col("grams").alias("g_b"))
+    j = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+    jac = F.size(F.array_intersect("g_a", "g_b")) / F.size(F.array_union("g_a", "g_b"))
+    # filter on the RAW value (as the oracle does), round only for output
+    return j.where(jac >= 0.5).select(
+        "id_a", "id_b", F.round(jac, 6).alias("jaccard")
+    )
+
+
+def _q_lsh_recall(spark, sf_dir):
+    """Hyperplane-LSH ANN end-to-end recall check (VERDICT r2 #5):
+    every 11th vector is planted again under a shifted id — an identical
+    vector lands in the SAME bucket of every hash table by construction,
+    so top-1 for each original must be its planted duplicate at cosine
+    1.0. Deterministic: recall of an exact duplicate is guaranteed, not
+    probabilistic."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dups = emb.where(F.col("vec_id") % 11 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    corpus = emb.unionByName(dups)
+    queries_df = emb.where(F.col("vec_id") % 11 == 0)
+    dims = len(emb.select("embedding").head()[0])
+    out = similarity.lsh_topk(corpus, queries_df, dims=dims, k=1)
+    return out.select(
+        "query_id", F.col("vec_id").alias("match_id"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 # -------- KG pipeline stages (non-SQL-expressible → rows-only checks)
 
 def _q_kg_sentences(spark, sf_dir):
@@ -323,6 +364,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_lineitem": _q_agg_lineitem,
         "bem_pr_curve": _q_bem_pr_curve,
         "embedding_topk": _q_embedding_topk,
+        "ngram_jaccard": _q_ngram_jaccard,
+        "lsh_recall": _q_lsh_recall,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_entities": _q_kg_entities,
@@ -493,6 +536,30 @@ def oracle_sql() -> dict[str, str]:
                        FROM s)
             SELECT query_id, vec_id, round(cos, 4) AS cosine, cast(rank AS INT) AS rank
             FROM r WHERE rank <= 5
+        """,
+        "ngram_jaccard": """
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(text, '\\s+') AS w
+              FROM documents WHERE doc_id < 200
+            ),
+            grams AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS g
+              FROM toks
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.g, b.g))::DOUBLE
+                         / len(list_distinct(list_concat(a.g, b.g))), 6) AS jaccard
+            FROM grams a JOIN grams b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.g, b.g))::DOUBLE
+                  / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
+        """,
+        "lsh_recall": """
+            SELECT vec_id AS query_id, vec_id + 1000000 AS match_id,
+                   1.0 AS cosine
+            FROM embeddings WHERE vec_id % 11 = 0
         """,
         # kg_* stages are deterministic NLP transforms over the seeded
         # transcript generator — not SQL-expressible; rows-only checks.

@@ -135,17 +135,8 @@ def clusters_python(mentions: DataFrame) -> DataFrame:
     )
 
 
-def clusters(mentions: DataFrame) -> DataFrame:
-    """mentions (ENTITIES schema incl. pronoun rows) → CLUSTERS, FULLY
-    NATIVE (zero Python): whole-stage-codegen'd key derivation, one
-    window for nearest-preceding-antecedent pronoun resolution, one
-    groupBy for cluster assembly. Semantics identical to
-    :func:`cluster_conversation` (asserted by a parity test).
-
-    Why: the hot conversation puts ~10% of all mentions in one group; a
-    per-conversation Python UDF makes that group a single-task straggler,
-    while a JVM window-sort over the same rows is milliseconds.
-    """
+def _with_keys(mentions: DataFrame) -> DataFrame:
+    """Whole-stage-codegen'd canonical-key derivation (mention_key)."""
     words = F.split(F.col("name"), " ")
     initials = F.array_join(
         F.filter(
@@ -165,43 +156,117 @@ def clusters(mentions: DataFrame) -> DataFrame:
                      F.lower(F.regexp_replace("name", "\\s+", " ")))
         )
     )
-
     is_pron = F.col("entity_type") == PRONOUN_TYPE
-    m = mentions.select(
+    return mentions.select(
         "conv_id", "text", "offset", "entity_type",
         F.when(~is_pron, key).alias("key"),
         is_pron.cast("int").alias("is_pron"),
     )
 
-    # preceding frame ordered so an entity at the SAME offset as a pronoun
-    # sorts after it (strictly-preceding semantics of the bisect version).
-    # Frame ends at currentRow, NOT -1: a pronoun row contributes null to
-    # last(entity key) anyway, and the currentRow-bounded running frame
-    # takes Spark's incremental O(n) path while (…, -1) falls into the
-    # O(n²) sliding-frame path (measured 18.8s → expected ~2s on 4M rows).
+
+def _cats():
+    # built lazily — Column construction needs an active SparkContext
+    return [
+        ("person", F.col("entity_type") == "PERSON"),
+        ("thing", F.col("entity_type").isin("ORGANIZATION", "LOCATION", "OTHER")),
+        ("org", F.col("entity_type") == "ORGANIZATION"),
+        ("any", F.lit(True)),
+    ]
+
+
+_RESOLVED_COLS = ["conv_id", "text", "offset", "is_pron", "ckey"]
+
+
+def _pron_key(last: dict):
+    lw = F.lower(F.col("text"))
+    return (
+        F.when(lw.isin(*sorted(_PERSON_PRON)), last["person"])
+        .when(lw.isin(*sorted(_THING_PRON)), last["thing"])
+        .when(lw.isin(*sorted(_PLURAL_PRON)), F.coalesce(last["org"], last["any"]))
+        .otherwise(last["person"])
+    )
+
+
+def _resolve_plain(m: DataFrame) -> DataFrame:
+    """Nearest-preceding-antecedent resolution with ONE window per
+    conversation — the right shape for normally-sized conversations.
+
+    Preceding frame ordered so an entity at the SAME offset as a pronoun
+    sorts after it (strictly-preceding semantics of the bisect version).
+    Frame ends at currentRow, NOT -1: a pronoun row contributes null to
+    last(entity key) anyway, and the currentRow-bounded running frame
+    takes Spark's incremental O(n) path while (…, -1) falls into the
+    O(n²) sliding-frame path (measured 18.8s → expected ~2s on 4M rows).
+    """
+    is_pron, CATS = F.col("is_pron") == 1, _cats()
     w = (
         Window.partitionBy("conv_id")
         .orderBy("offset", F.desc("is_pron"), "text")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    lastk = lambda cond: F.last(F.when(cond & ~is_pron, F.col("key")), ignorenulls=True).over(w)
-    last_person = lastk(F.col("entity_type") == "PERSON")
-    last_thing = lastk(F.col("entity_type").isin("ORGANIZATION", "LOCATION", "OTHER"))
-    last_org = lastk(F.col("entity_type") == "ORGANIZATION")
-    last_any = lastk(F.lit(True))
+    last = {
+        n: F.last(F.when(c & ~is_pron, F.col("key")), ignorenulls=True).over(w)
+        for n, c in CATS
+    }
+    return m.withColumn(
+        "ckey", F.when(is_pron, _pron_key(last)).otherwise(F.col("key"))
+    ).where(F.col("ckey").isNotNull()).select(*_RESOLVED_COLS)
 
-    lw = F.lower(F.col("text"))
-    pron_key = (
-        F.when(lw.isin(*sorted(_PERSON_PRON)), last_person)
-        .when(lw.isin(*sorted(_THING_PRON)), last_thing)
-        .when(lw.isin(*sorted(_PLURAL_PRON)), F.coalesce(last_org, last_any))
-        .otherwise(last_person)
+
+def _resolve_segmented(m: DataFrame, block_chars: int = 1 << 13) -> DataFrame:
+    """The same resolution as :func:`_resolve_plain` as a TWO-LEVEL
+    segmented scan (VERDICT r2 #4) — for HOT conversations whose single
+    window partition would be a straggler sort task. Same trick as the
+    turn offsets (assembly.with_turn_offsets): (1) running last per
+    category WITHIN (conv, offset-block) — balanced partitions; (2)
+    per-block final lasts, prefix-carried across blocks by a window over
+    the tiny blocks table (lag of the running last — incremental
+    O(#blocks)); (3) join the carry-in back on (conv, block), which
+    reuses the window's (conv, block) partitioning, and coalesce.
+    Identical output to the plain window (parity-tested)."""
+    is_pron, CATS = F.col("is_pron") == 1, _cats()
+    m = m.withColumn("_blk", (F.col("offset") / block_chars).cast("long"))
+    wb = (
+        Window.partitionBy("conv_id", "_blk")
+        .orderBy("offset", F.desc("is_pron"), "text")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-
-    resolved = m.withColumn("ckey", F.when(is_pron, pron_key).otherwise(F.col("key"))).where(
-        F.col("ckey").isNotNull()
+    within = {
+        n: F.last(F.when(c & ~is_pron, F.col("key")), ignorenulls=True).over(wb)
+        for n, c in CATS
+    }
+    # per-block final last per category: max over the window's (offset,
+    # text) ordering restricted to entity rows (entities all sort after
+    # pronouns at equal offset, so is_pron never discriminates here)
+    blocks = m.groupBy("conv_id", "_blk").agg(*[
+        F.max(F.when(c & ~is_pron, F.struct("offset", "text", "key")))
+        .alias(f"_f_{n}") for n, c in CATS
+    ])
+    wblk = Window.partitionBy("conv_id").orderBy("_blk")
+    run = blocks.select(
+        "conv_id", "_blk", *[
+            F.last(f"_f_{n}", ignorenulls=True)
+            .over(wblk.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .alias(f"_r_{n}") for n, _ in CATS
+        ]
     )
+    carry = run.select(
+        "conv_id", "_blk", *[
+            F.lag(f"_r_{n}").over(wblk)["key"].alias(f"_carry_{n}")
+            for n, _ in CATS
+        ]
+    )
+    mw = m.select(
+        "conv_id", "_blk", "text", "offset", "entity_type", "key", "is_pron",
+        *[within[n].alias(f"_w_{n}") for n, _ in CATS],
+    ).join(carry, ["conv_id", "_blk"])
+    last = {n: F.coalesce(F.col(f"_w_{n}"), F.col(f"_carry_{n}")) for n, _ in CATS}
+    return mw.withColumn(
+        "ckey", F.when(is_pron, _pron_key(last)).otherwise(F.col("key"))
+    ).where(F.col("ckey").isNotNull()).select(*_RESOLVED_COLS)
 
+
+def _assemble(resolved: DataFrame) -> DataFrame:
     grouped = (
         resolved.groupBy("conv_id", "ckey")
         .agg(
@@ -229,3 +294,39 @@ def clusters(mentions: DataFrame) -> DataFrame:
             "_ms", lambda s: F.struct(s["text"].alias("text"), s["offset"].alias("offset"))
         ).alias("mentions"),
     )
+
+
+def clusters(mentions: DataFrame, hot_threshold: int | None = 1 << 22) -> DataFrame:
+    """mentions (ENTITIES schema incl. pronoun rows) → CLUSTERS, FULLY
+    NATIVE (zero Python): whole-stage-codegen'd key derivation, window
+    nearest-preceding-antecedent pronoun resolution, one groupBy for
+    cluster assembly. Semantics identical to
+    :func:`cluster_conversation` (asserted by a parity test).
+
+    SKEW-ADAPTIVE (VERDICT r2 #4): conversations with more than
+    ``hot_threshold`` mentions would make the per-conversation window a
+    single straggler sort task, so they are split off (one broadcast
+    semi/anti pair over a tiny hot-conversation list — the AQE skew-join
+    idea applied to a window) and resolved with the two-level segmented
+    scan; everything else takes the plain one-window path.
+
+    The default threshold sits at the measured crossover (local[32],
+    single-conversation probe): at 4M mentions in one conversation the
+    two paths tie (~8-10s each — the segmented scan's extra block-carry
+    shuffle cancels the straggler saving), at 16M the segmented path is
+    2.5-3× faster (15-18s vs 38-46s single-task sort) and the gap widens
+    with size. Below the crossover plain is ~2× cheaper, so segmenting
+    everything would tax the common case (measured: 3→7s on a balanced
+    4M-mention table). ``hot_threshold=None`` disables the split."""
+    m = _with_keys(mentions)
+    if hot_threshold is None:
+        resolved = _resolve_plain(m)
+    else:
+        hot = (
+            m.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
+            .where(F.col("_n") > hot_threshold).select("conv_id")
+        )
+        cold = m.join(F.broadcast(hot), "conv_id", "left_anti")
+        hot_m = m.join(F.broadcast(hot), "conv_id", "left_semi")
+        resolved = _resolve_plain(cold).unionByName(_resolve_segmented(hot_m))
+    return _assemble(resolved)
