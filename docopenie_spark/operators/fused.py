@@ -81,13 +81,15 @@ def parsed_sentences(turns_with_offsets: DataFrame, apply_filter: bool = True,
 # ------------------------------------------------- fused extract + NER
 
 _PART_DDL = "struct<text:string,offset:bigint>"
-# row_kind: 's' = sentence (e_text/e_offset carry the sentence text and
-# doc offset), 't' = triple, 'e' = entity/pronoun mention
+# row_kind: 's' = sentence (e_offset/e_len carry the doc offset and
+# length; e_text carries the text only when emit_sentence_text is set —
+# sentences are exact substrings of the normalized turn text, so the
+# text is reconstructable JVM-side), 't' = triple, 'e' = entity/pronoun
 ANNOTATED = (
     "conv_id string, row_kind string, turn_idx int, sent_num int, "
     f"arg1 {_PART_DDL}, rel {_PART_DDL}, arg2 {_PART_DDL}, "
     "confidence double, extractor string, "
-    "e_text string, e_offset bigint, e_name string, e_type string"
+    "e_text string, e_offset bigint, e_len int, e_name string, e_type string"
 )
 
 
@@ -97,6 +99,7 @@ def parse_extract_annotate(
     gazetteer_names: set[str],
     last_names: set[str] | None = None,
     rebalance: bool = False,
+    emit_sentence_text: bool = False,
 ) -> DataFrame:
     """segment+filter+tokenize+extract+NER in ONE Python pass over the
     turn table — the token arrays NEVER cross the Arrow boundary.
@@ -107,7 +110,16 @@ def parse_extract_annotate(
     over bulk data carries a large non-scaling tax. The two-pass design
     (parse → persist tokens → annotate) shipped the WIDE token structs
     out of python and back in; this emits only sentences, triples, and
-    entities (≈ corpus-sized), cutting Arrow volume ~3×."""
+    entities (≈ corpus-sized), cutting Arrow volume ~3×.
+
+    By default 's' rows carry ONLY (doc offset, length) — the sentence
+    text is an exact substring of the normalized turn text, so
+    :func:`split_sentences` reconstructs it with a JVM join+substring
+    instead of shipping every kept character through Arrow again and
+    holding it in the persist (round-3 scaling lever: sentence text is
+    the largest single payload of the fused pass's output).
+    ``emit_sentence_text=True`` restores inline text for callers without
+    the turn table at hand."""
     sc = turns_with_offsets.sparkSession.sparkContext
     b_first = sc.broadcast(frozenset(first_names))
     b_gaz = sc.broadcast(frozenset(gazetteer_names))
@@ -136,14 +148,16 @@ def parse_extract_annotate(
                     off = int(turn_offset) + local
                     tokens = tokenize_sentence(s)
                     recs.append((conv_id, "s", ti, i, None, None, None,
-                                 None, None, s, off, None, None))
+                                 None, None,
+                                 s if emit_sentence_text else None,
+                                 off, len(s), None, None))
                     for a1, r, a2, conf, ext in extract_sentence(tokens, s):
                         recs.append((
                             conv_id, "t", ti, i,
                             (a1[0], off + a1[1]),
                             (r[0], off + r[1]),
                             (a2[0], off + a2[1]),
-                            conf, ext, None, None, None, None,
+                            conf, ext, None, None, None, None, None,
                         ))
                     for e_text, e_off, e_name, e_type in sentence_entities(
                         tokens, s, off, firsts, gaz, lasts, True
@@ -151,24 +165,48 @@ def parse_extract_annotate(
                         recs.append((
                             conv_id, "e", ti, i,
                             None, None, None, None, None,
-                            e_text, int(e_off), e_name, e_type,
+                            e_text, int(e_off), None, e_name, e_type,
                         ))
             yield pd.DataFrame(
                 recs,
                 columns=["conv_id", "row_kind", "turn_idx", "sent_num",
                          "arg1", "rel", "arg2", "confidence", "extractor",
-                         "e_text", "e_offset", "e_name", "e_type"],
+                         "e_text", "e_offset", "e_len", "e_name", "e_type"],
             )
 
     return src.mapInPandas(run, schema=ANNOTATED)
 
 
-def split_sentences(annotated: DataFrame) -> DataFrame:
-    """SENTENCES view of the combined table."""
-    return annotated.where(F.col("row_kind") == "s").select(
+def split_sentences(annotated: DataFrame,
+                    turns_with_offsets: DataFrame | None = None) -> DataFrame:
+    """SENTENCES view of the combined table.
+
+    With ``turns_with_offsets`` the text is RECONSTRUCTED JVM-side:
+    sentence doc offset − turn offset indexes into the normalized turn
+    text (sentences are exact substrings — segment_turn returns stripped
+    slices). Without it the stored ``e_text`` is used (requires the pass
+    to have run with ``emit_sentence_text=True``)."""
+    s = annotated.where(F.col("row_kind") == "s")
+    if turns_with_offsets is None:
+        return s.select(
+            "conv_id", "turn_idx", "sent_num",
+            F.col("e_offset").alias("offset"),
+            F.col("e_text").alias("text"),
+        )
+    t = turns_with_offsets.select(
+        "conv_id", "turn_idx", "turn_offset",
+        textnorm.normalize_inline_ws(textnorm.asciify(F.col("text"))).alias("_nt"),
+    )
+    j = s.select("conv_id", "turn_idx", "sent_num", "e_offset", "e_len").join(
+        t, ["conv_id", "turn_idx"]
+    )
+    text = F.expr(
+        "substring(_nt, cast(e_offset - turn_offset as int) + 1, e_len)"
+    )
+    return j.select(
         "conv_id", "turn_idx", "sent_num",
         F.col("e_offset").alias("offset"),
-        F.col("e_text").alias("text"),
+        text.alias("text"),
     )
 
 
@@ -208,7 +246,7 @@ def extract_and_annotate(
                         (a1[0], off + a1[1]),
                         (r[0], off + r[1]),
                         (a2[0], off + a2[1]),
-                        conf, ext, None, None, None, None,
+                        conf, ext, None, None, None, None, None,
                     ))
                 for e_text, e_off, e_name, e_type in sentence_entities(
                     tokens, text, off, firsts, gaz, lasts, True
@@ -216,13 +254,13 @@ def extract_and_annotate(
                     recs.append((
                         conv_id, "e", int(turn_idx), int(sent_num),
                         None, None, None, None, None,
-                        e_text, int(e_off), e_name, e_type,
+                        e_text, int(e_off), None, e_name, e_type,
                     ))
             yield pd.DataFrame(
                 recs,
                 columns=["conv_id", "row_kind", "turn_idx", "sent_num",
                          "arg1", "rel", "arg2", "confidence", "extractor",
-                         "e_text", "e_offset", "e_name", "e_type"],
+                         "e_text", "e_offset", "e_len", "e_name", "e_type"],
             )
 
     return parsed.mapInPandas(run, schema=ANNOTATED)

@@ -69,7 +69,8 @@ def run_checkpointed(
         ),
         run_id,
     )
-    parsed = fused.split_sentences(annotated)  # sentence rows (no tokens)
+    # sentence rows (no tokens); text reconstructed from the turn table
+    parsed = fused.split_sentences(annotated, assembly.with_turn_offsets(transcripts))
     triples_raw = fused.split_triples(annotated)
     mentions = fused.split_entities(annotated)
     clusters = _resumable(

@@ -56,6 +56,7 @@ def annotate(
     gazetteer_rows: list[tuple] | None = None,
     fabricate_metadata: bool = False,
     cache: bool = True,
+    storage_level: str = "MEMORY_AND_DISK",
 ) -> DataFrame:
     """The fused segment+tokenize+extract+NER pass alone, persisted —
     pass the result as ``run_pipeline(..., annotated=)`` to share ONE
@@ -73,7 +74,7 @@ def annotate(
         assembly.with_turn_offsets(transcripts),
         first_names, gaz_names, last_names, rebalance=False,
     )
-    return out.persist(StorageLevel.MEMORY_AND_DISK) if cache else out
+    return out.persist(getattr(StorageLevel, storage_level)) if cache else out
 
 
 def run_pipeline(
@@ -86,6 +87,7 @@ def run_pipeline(
     fabricate_metadata: bool = False,
     cache: bool = True,
     annotated: DataFrame | None = None,
+    storage_level: str = "MEMORY_AND_DISK",
 ) -> PipelineResult:
     """Build the full DAG. With cache=True the fan-out points (parsed
     sentences feed BOTH extraction and NER; triples_raw feeds linking AND
@@ -96,15 +98,23 @@ def run_pipeline(
 
     ``annotated`` (from :func:`annotate` over the SAME transcripts and
     fabrication setting) skips the fused Python pass — callers running
-    several variants (eval_diff base vs comp) pay for it once."""
+    several variants (eval_diff base vs comp) pay for it once.
+
+    ``storage_level`` picks the persist level for the fan-out points:
+    the default keeps deserialized rows in executor memory (fastest when
+    it fits); small fixed-heap executors holding a large corpus should
+    pass "DISK_ONLY" — serialized spill, bounded heap (the executor-mode
+    scaling protocol does; VERDICT r2 #1a)."""
     from pyspark import StorageLevel
 
     gaz_rows = gazetteer_rows if gazetteer_rows is not None else datagen.gazetteer_rows()
     first_names, gaz_names, last_names = default_dictionaries()
     gaz_names |= {r[0] for r in gaz_rows}
 
+    lvl = getattr(StorageLevel, storage_level)
+
     def _p(df: DataFrame) -> DataFrame:
-        return df.persist(StorageLevel.MEMORY_AND_DISK) if cache else df
+        return df.persist(lvl) if cache else df
 
     if fabricate_metadata:
         # S6: role/ts metadata becomes mention-bearing fabricated turns
@@ -125,7 +135,9 @@ def run_pipeline(
         annotated = _p(fused.parse_extract_annotate(
             turns, first_names, gaz_names, last_names, rebalance=False
         ))
-    sents = fused.split_sentences(annotated)
+    # sentence text reconstructed JVM-side from the turn table (the 's'
+    # rows carry only offset+length — see parse_extract_annotate)
+    sents = fused.split_sentences(annotated, turns)
     triples_raw = fused.split_triples(annotated)
     mentions = fused.split_entities(annotated)
     # parsed (with token arrays) is API surface only — built on demand,
