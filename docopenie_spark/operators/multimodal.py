@@ -1,12 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The decode/feature libraries (PIL, ffmpeg, torchaudio…) are NOT in this
-container, so the decode kernels are STUBBED — either raising
-NotImplementedError (production placeholder) or producing a
-deterministic fake (test mode). Everything Spark-side is REAL and
-tested: schemas, Arrow batch shape, mapInPandas signatures, partition
-behavior — swap the kernel body and the pipeline is production-shaped.
+Decode kernels are REAL for the formats stdlib+numpy can parse —
+PPM (P6) and uncompressed 24-bit BMP images, PCM WAV audio — with real
+feature extraction (block-mean grayscale grid for images, per-window RMS
+energy for audio), all numpy-vectorized inside Arrow-batched
+``mapInPandas``. Formats that need codec libraries absent from this
+container (JPEG/PNG via PIL, any video via ffmpeg) raise
+NotImplementedError at the kernel — the clearly-marked remaining stub —
+and ``fake=True`` substitutes a deterministic byte-derived vector so the
+Spark plumbing is exercisable for those kinds too.
 """
 
 from __future__ import annotations
@@ -52,23 +55,133 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return (h % 1000).astype(np.float32) / 1000.0
 
 
+# ------------------------------------------------------ real decoders
+# (dependency-free: stdlib + numpy only)
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Encoded image bytes → (H, W, 3) uint8 RGB.
+
+    Real decoders for the container-parseable formats: PPM P6 (binary
+    portable pixmap) and uncompressed 24-bit bottom-up BMP. JPEG/PNG
+    need codec libraries absent here → NotImplementedError."""
+    if payload[:2] == b"P6":
+        pos, fields = 2, []
+        while len(fields) < 3:
+            # skip whitespace and '#' comment lines between header fields
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                pos = payload.index(b"\n", pos) + 1
+                continue
+            end = pos
+            while not payload[end : end + 1].isspace():
+                end += 1
+            fields.append(int(payload[pos:end]))
+            pos = end
+        w, h, maxval = fields
+        pos += 1  # single whitespace after maxval
+        if maxval != 255:
+            raise NotImplementedError("PPM maxval != 255")
+        return (
+            np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+            .reshape(h, w, 3).copy()
+        )
+    if payload[:2] == b"BM":
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(f"BMP bpp={bpp} compression={comp}")
+        stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * abs(h), offset=off
+        ).reshape(abs(h), stride)[:, : w * 3].reshape(abs(h), w, 3)
+        if h > 0:  # bottom-up
+            rows = rows[::-1]
+        return rows[:, :, ::-1].copy()  # BGR → RGB
+    raise NotImplementedError(
+        "image codec not decodable without PIL (only PPM/BMP supported here)"
+    )
+
+
+def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes → (mono float32 samples in [-1, 1], sample_rate).
+    PCM 16-bit via the stdlib wave module; other codecs need ffmpeg."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as wf:
+            sw, ch, sr = wf.getsampwidth(), wf.getnchannels(), wf.getframerate()
+            raw = wf.readframes(wf.getnframes())
+    except wave.Error as e:
+        raise NotImplementedError(f"audio codec not decodable without ffmpeg: {e}")
+    if sw != 2:
+        raise NotImplementedError(f"WAV sample width {sw} != 2 (PCM16 only)")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    if ch > 1:
+        x = x.reshape(-1, ch).mean(axis=1)
+    return x, sr
+
+
+def resize_block_mean(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Block-mean resize (area downsample) — the real resize kernel, pure
+    numpy: rows/cols are partitioned into out_h×out_w near-equal blocks
+    and each output pixel is its block's mean."""
+    g = img.astype(np.float32)
+    h_parts = np.array_split(np.arange(img.shape[0]), out_h)
+    w_parts = np.array_split(np.arange(img.shape[1]), out_w)
+    row_means = np.stack([g[idx].mean(axis=0) for idx in h_parts])
+    return np.stack([row_means[:, idx].mean(axis=1) for idx in w_parts], axis=1)
+
+
+def image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Grayscale block-mean grid, flattened to ``dim`` values in [0, 1]
+    (a perceptual-thumbnail embedding). ``dim`` must be a square."""
+    side = int(round(dim ** 0.5))
+    assert side * side == dim, "image feature dim must be a perfect square"
+    gray = img.astype(np.float32).mean(axis=2)
+    return (resize_block_mean(gray[:, :, None], side, side)[:, :, 0] / 255.0).reshape(-1)
+
+
+def audio_features(x: np.ndarray, dim: int) -> np.ndarray:
+    """Per-window RMS energy over ``dim`` equal time windows."""
+    if x.size == 0:
+        return np.zeros(dim, dtype=np.float32)
+    return np.array(
+        [float(np.sqrt(np.mean(np.square(c)))) if c.size else 0.0
+         for c in np.array_split(x, dim)],
+        dtype=np.float32,
+    )
+
+
 def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> DataFrame:
     """binary payload → feature vector via Arrow-batched mapInPandas.
 
-    With fake=False this raises NotImplementedError at task time — the
-    clearly-marked decode stub (image/audio libs absent in this
-    environment). With fake=True a deterministic byte-derived vector is
-    produced so the full Spark plumbing is exercised end-to-end.
-    """
+    fake=False (production path): REAL decode + feature kernels —
+    images (PPM/BMP) → grayscale block-mean grid, audio (PCM WAV) →
+    per-window RMS energy. Kinds/codecs needing absent libraries
+    (JPEG/PNG, any video) raise NotImplementedError at task time — the
+    clearly-marked remaining stub. fake=True: deterministic byte-derived
+    vectors for every kind, exercising the identical Spark plumbing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires image/audio libraries not present "
-                    "in this environment; run with fake=True for plumbing tests"
-                )
-            feats = [ _fake_features(p, dim).tolist() for p in b["payload"] ]
+            feats = []
+            for kind, p in zip(b["kind"], b["payload"]):
+                if fake:
+                    feats.append(_fake_features(p, dim).tolist())
+                elif kind == "image":
+                    feats.append(image_features(decode_image(bytes(p)), dim).tolist())
+                elif kind == "audio":
+                    feats.append(audio_features(decode_audio(bytes(p))[0], dim).tolist())
+                else:
+                    raise NotImplementedError(
+                        "video decode requires ffmpeg, absent in this "
+                        "environment; run with fake=True for plumbing tests"
+                    )
             yield pd.DataFrame(
                 {"media_id": b["media_id"], "kind": b["kind"], "features": feats}
             )
@@ -87,12 +200,46 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     ).select("media_id", "frame_idx", (F.col("frame_idx") * every_ms).alias("frame_ts_ms"))
 
 
-def synthetic_media(spark, n: int = 32) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 → PPM P6 bytes (the test-side encoder)."""
+    h, w = img.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_wav(x: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """mono float32 [-1, 1] → PCM16 WAV bytes (the test-side encoder)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(sample_rate)
+        wf.writeframes((np.clip(x, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def synthetic_media(spark, n: int = 32, real_payloads: bool = True) -> DataFrame:
+    """Deterministic media table. With ``real_payloads`` images are real
+    PPM bitmaps and audio real PCM WAVs (decodable by the production
+    kernels); video payloads stay opaque bytes (no dependency-free
+    container format — its decode is the disclosed stub)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
-        payload = bytes([(i * 7 + j) % 256 for j in range(128)])
+        if real_payloads and kind == "image":
+            yy, xx = np.mgrid[0:64, 0:64]
+            img = np.stack(
+                [(yy * (i + 1)) % 256, (xx * (i + 2)) % 256, (yy + xx + i) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            payload = encode_ppm(img)
+        elif real_payloads and kind == "audio":
+            t = np.arange(2800, dtype=np.float32) / 8000.0
+            payload = encode_wav(0.5 * np.sin(2 * np.pi * (200 + 40 * i) * t))
+        else:
+            payload = bytes([(i * 7 + j) % 256 for j in range(128)])
         rows.append(
             (f"m{i:04d}", kind, payload,
              {"mime": f"x/{kind}", "width": 64 if kind == "image" else None,
