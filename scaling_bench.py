@@ -154,12 +154,18 @@ def main() -> None:
     # min-based: each config's best run estimates unimpeded capability on
     # this co-tenant-noisy host (runs minutes apart vary up to 3x)
     eff_min = (best[CPUS_SMALL] / best[CPUS_BIG]) / factor
+    mode = os.environ.get("SCALING_MODE", "threads")
     summary = {
         "metric": "scaling_efficiency_N_to_4N",
         "value": round(eff, 3),
         "value_min_based": round(eff_min, 3),
         "pair_efficiencies": [round(e, 3) for e in pair_effs],
         "target": 0.8,
+        "mode": mode,  # executors = local-cluster[n,4,mem] + addPyFile,
+        #               the north rule's literal N vs 4N executors shape
+        "persist": os.environ.get(
+            "SCALING_PERSIST", "DISK_ONLY" if mode == "executors" else "MEMORY_AND_DISK"
+        ),
         "pinned": PIN,
         "n": CPUS_SMALL,
         "n4": CPUS_BIG,
