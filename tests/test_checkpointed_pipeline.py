@@ -64,3 +64,16 @@ def test_metrics_recorded(spark, tmp_path):
     stages = {r.stage for r in m}
     assert "annotated" in stages and "triples" in stages
     assert all(r.value >= 0 for r in m)
+
+
+def test_disk_only_storage_level_same_triples(spark):
+    """storage_level='DISK_ONLY' (the executor-mode scaling setting) must
+    not change results — only where the persisted fan-out points live."""
+    from docopenie_spark import datagen
+    from docopenie_spark.plans.pipeline import run_pipeline
+
+    t = datagen.transcripts_df(spark, 160)
+    a = run_pipeline(spark, t).triples
+    b = run_pipeline(spark, t, storage_level="DISK_ONLY").triples
+    assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
+    assert a.count() == b.count() > 0
