@@ -264,6 +264,39 @@ def _q_lsh_recall(spark, sf_dir):
     )
 
 
+# T2 with a REAL oracle (VERDICT r3 #4): the driver documents are
+# terminator-free word soup, so a plain segmentation oracle would be
+# vacuous (1 sentence per turn). Inject punctuation DETERMINISTICALLY —
+# the identical regexp_replace chain runs on both the Spark and DuckDB
+# side — so the oracle exercises multi-sentence turns, terminator runs,
+# closing-quote consumption, offset arithmetic, and the gap case (a
+# terminator directly after a closing quote belongs to no sentence).
+_SEG_PUNCT = [
+    ("\\bmerge\\b", "merge."),      # plain terminator
+    ("\\bwindow\\b", "window!"),    # other terminator
+    ("\\bspark\\b", 'spark."'),     # terminator + closing quote
+    ("\\bhash\\b", "hash?!"),       # multi-terminator run
+    ("\\bvector\\b", 'vector.".'),  # quote then terminator → gap run
+]
+
+
+def _punctuated_docs(docs: DataFrame) -> DataFrame:
+    c = F.col("text")
+    for pat, rep in _SEG_PUNCT:
+        c = F.regexp_replace(c, pat, rep)
+    return docs.withColumn("text", c)
+
+
+def _q_kg_segmentation(spark, sf_dir):
+    """T2 segmentation externally checked — rule segmenter + document
+    offsets over punctuated derived transcripts. The DuckDB oracle
+    re-derives sentences with a TILING regex (sentence | fragment |
+    terminator-gap) whose cumulative match lengths reproduce
+    segment_turn's m.start() offsets exactly."""
+    t = derived_from_documents(_punctuated_docs(_docs(spark, sf_dir)))
+    return segment.sentences(assembly.with_turn_offsets(t))
+
+
 # -------- KG pipeline stages (non-SQL-expressible → rows-only checks)
 
 def _q_kg_sentences(spark, sf_dir):
@@ -321,7 +354,17 @@ def _q_kg_eval_diff(spark, sf_dir):
     base = run_pipeline(spark, t, with_linking=False,
                         with_coref_expansion=False, annotated=ann)
     comp = run_pipeline(spark, t, annotated=ann)
-    return eval_diff(base.triples, comp.triples, comp.sentences)
+    out = eval_diff(base.triples, comp.triples, comp.sentences)
+    # materialize the (small) diff while the shared tables are cached,
+    # then FREE them — a long-lived session leaks executor storage
+    # otherwise (VERDICT r3 #4); the returned df stays persisted, it is
+    # the one result the caller still needs
+    out = out.persist()
+    out.count()
+    base.unpersist()
+    comp.unpersist()
+    ann.unpersist()
+    return out
 
 
 def _q_kg_bem_classifier(spark, sf_dir):
@@ -366,6 +409,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": _q_embedding_topk,
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_recall": _q_lsh_recall,
+        "kg_segmentation": _q_kg_segmentation,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_entities": _q_kg_entities,
@@ -560,6 +604,76 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_id, vec_id + 1000000 AS match_id,
                    1.0 AS cosine
             FROM embeddings WHERE vec_id % 11 = 0
+        """,
+        # T2 segmentation, externally checked (VERDICT r3 #4). The regex
+        # adds a third alternative — bare terminator runs — to the
+        # segmenter's pattern so matches TILE the turn text; each
+        # sentence's start offset is then the cumulative length of all
+        # prior matches (incl. gaps), which is exactly re.finditer's
+        # m.start(). Rows kept for NUMBERING are the segmenter's
+        # (contain a non-terminator, strip-nonempty); the P1 length/
+        # word-count filter applies after numbering, as in the code.
+        "kg_segmentation": """
+            WITH src AS (
+              SELECT doc_id,
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       regexp_replace(text,
+                       '\\bmerge\\b', 'merge.', 'g'),
+                       '\\bwindow\\b', 'window!', 'g'),
+                       '\\bspark\\b', 'spark."', 'g'),
+                       '\\bhash\\b', 'hash?!', 'g'),
+                       '\\bvector\\b', 'vector.".', 'g') AS text
+              FROM documents
+            ), w AS (
+              SELECT doc_id, string_split(text, ' ') AS words FROM src
+            ), t AS (
+              SELECT doc_id, words,
+                     unnest(generate_series(0, cast(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS j
+              FROM w
+            ), turns AS (
+              SELECT cast(doc_id AS VARCHAR) AS conv_id,
+                     cast(j AS INT) AS turn_idx,
+                     array_to_string(words[(j*10+1):(j*10+10)], ' ') AS text
+              FROM t
+            ), turns_o AS (
+              SELECT conv_id, turn_idx, text,
+                     coalesce(sum(length(text) + 1) OVER (
+                         PARTITION BY conv_id ORDER BY turn_idx
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS turn_offset
+              FROM turns
+            ), m AS (
+              SELECT conv_id, turn_idx, turn_offset,
+                     regexp_extract_all(text,
+                       '[^.!?]+[.!?]+["''\\)\\]]*|[^.!?]+$|[.!?]+') AS segs
+              FROM turns_o
+            ), e AS (
+              SELECT conv_id, turn_idx, turn_offset,
+                     unnest(segs) AS raw,
+                     generate_subscripts(segs, 1) AS i
+              FROM m
+            ), o AS (
+              SELECT conv_id, turn_idx, turn_offset, raw, i,
+                     coalesce(sum(length(raw)) OVER (
+                         PARTITION BY conv_id, turn_idx ORDER BY i
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumstart
+              FROM e
+            ), s AS (
+              SELECT conv_id, turn_idx, i,
+                     cast(turn_offset + cumstart
+                          + (length(raw) - length(ltrim(raw))) AS BIGINT) AS "offset",
+                     trim(raw) AS text
+              FROM o
+              WHERE regexp_matches(raw, '[^.!?]') AND trim(raw) <> ''
+            ), numbered AS (
+              SELECT conv_id, turn_idx,
+                     cast(row_number() OVER (
+                         PARTITION BY conv_id, turn_idx ORDER BY i) - 1 AS INT) AS sent_num,
+                     "offset", text
+              FROM s
+            )
+            SELECT conv_id, turn_idx, sent_num, "offset", text FROM numbered
+            WHERE length(text) <= 750
+              AND len(string_split_regex(trim(text), '\\s+')) >= 4
         """,
         # kg_* stages are deterministic NLP transforms over the seeded
         # transcript generator — not SQL-expressible; rows-only checks.

@@ -199,9 +199,14 @@ def _resolve_plain(m: DataFrame) -> DataFrame:
     O(n²) sliding-frame path (measured 18.8s → expected ~2s on 4M rows).
     """
     is_pron, CATS = F.col("is_pron") == 1, _cats()
+    # "key" as the final orderBy column makes ties on (offset, text)
+    # deterministic AND consistent with the segmented path's per-block
+    # max(struct(offset, text, key)) — without it, two mentions tying on
+    # (conv_id, offset, text) with different keys resolve by sort-
+    # stability luck and the two paths can diverge.
     w = (
         Window.partitionBy("conv_id")
-        .orderBy("offset", F.desc("is_pron"), "text")
+        .orderBy("offset", F.desc("is_pron"), "text", "key")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     last = {
@@ -228,7 +233,7 @@ def _resolve_segmented(m: DataFrame, block_chars: int = 1 << 13) -> DataFrame:
     m = m.withColumn("_blk", (F.col("offset") / block_chars).cast("long"))
     wb = (
         Window.partitionBy("conv_id", "_blk")
-        .orderBy("offset", F.desc("is_pron"), "text")
+        .orderBy("offset", F.desc("is_pron"), "text", "key")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     within = {

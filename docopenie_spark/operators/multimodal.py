@@ -71,11 +71,20 @@ def decode_image(payload: bytes) -> np.ndarray:
             while pos < len(payload) and payload[pos : pos + 1].isspace():
                 pos += 1
             if payload[pos : pos + 1] == b"#":
-                pos = payload.index(b"\n", pos) + 1
+                nl = payload.find(b"\n", pos)
+                if nl < 0:
+                    raise ValueError("truncated PPM header (unterminated comment)")
+                pos = nl + 1
                 continue
+            # bounded scan: a header field must end in whitespace BEFORE the
+            # payload runs out (pixel data follows the header) — an
+            # unbounded scan would livelock a Spark task on one truncated
+            # blob, since b''.isspace() is False forever
             end = pos
-            while not payload[end : end + 1].isspace():
+            while end < len(payload) and not payload[end : end + 1].isspace():
                 end += 1
+            if end == pos or end >= len(payload):
+                raise ValueError("truncated PPM header")
             fields.append(int(payload[pos:end]))
             pos = end
         w, h, maxval = fields

@@ -21,17 +21,20 @@ from pyspark.sql import functions as F
 
 from .. import datagen
 from ..operators import assembly, bestmention, coref, fused, link, ner, substitute
-from ..sources.checkpoints import BUCKET_COL, StageStore, with_bucket
+from ..sources.checkpoints import BUCKET_COL, StageStore, schema_fingerprint, with_bucket
 from .pipeline import default_dictionaries
 
 
 def _resumable(store: StageStore, stage: str, inputs: list[DataFrame], fn,
                run_id: str, key: str = "conv_id") -> DataFrame:
     """Generalized multi-input resume: filter every input to the buckets
-    lineage has NOT recorded for ``stage``, compute, append, read back."""
-    done = store.done_buckets(stage)
+    lineage has NOT recorded for ``stage``, compute, append, read back.
+    Buckets committed under a different output schema (pre-change code)
+    count as not-done — the schema guard in sources/checkpoints."""
+    expected_fp = schema_fingerprint(fn(*[df.limit(0) for df in inputs]).schema)
+    done = store.done_buckets(stage, schema_fp=expected_fp)
     if len(done) == store.buckets:
-        return store.read_stage(stage)
+        return store.read_stage(stage, schema_fp=expected_fp)
     filtered = []
     for df in inputs:
         b = with_bucket(df, key, store.buckets)
@@ -43,7 +46,7 @@ def _resumable(store: StageStore, stage: str, inputs: list[DataFrame], fn,
     remaining = [b for b in range(store.buckets) if b not in set(done)]
     store.write_stage(stage, out, key=key, run_id=run_id, only_buckets=remaining)
     store.record_metric(run_id, stage, "wall_sec", time.time() - t0)
-    return store.read_stage(stage)
+    return store.read_stage(stage, schema_fp=expected_fp)
 
 
 def run_checkpointed(

@@ -31,6 +31,7 @@ else changes.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 import time
@@ -38,8 +39,23 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
 
 BUCKET_COL = "_bucket"
+
+
+def schema_fingerprint(schema: StructType) -> str:
+    """Stable fingerprint of a stage's DATA schema (bucket column
+    excluded). Recorded in lineage at write time; resume treats a
+    mismatch against the CURRENT code's expected output schema as
+    not-done, forcing recompute — otherwise a checkpoint directory
+    written by pre-change code is silently read back with missing/
+    renamed columns (e.g. the round-3 ANNOTATED e_len change)."""
+    ddl = ",".join(
+        f"{f.name}:{f.dataType.simpleString()}:{f.nullable}"
+        for f in schema.fields if f.name != BUCKET_COL
+    )
+    return hashlib.md5(ddl.encode()).hexdigest()[:16]
 
 
 def with_bucket(df: DataFrame, key: str = "conv_id", buckets: int = 32) -> DataFrame:
@@ -120,24 +136,34 @@ class StageStore:
             # row_count of 0 always corresponds to an actually-empty bucket
             # (Iceberg's overwritePartitions over an explicit bucket
             # predicate does this natively; parquet dirs need the rm).
-            for bk in attempted:
-                if bk not in stats:
-                    shutil.rmtree(
-                        os.path.join(self._path(stage), f"{BUCKET_COL}={bk}"),
-                        ignore_errors=True,
-                    )
+            # The clear must not silently no-op: a swallowed failure here
+            # resurrects stale rows from a previous killed run.
+            stale = [bk for bk in attempted if bk not in stats]
+            if stale and "://" in self.root and not self.root.startswith("file:"):
+                raise NotImplementedError(
+                    f"stale-bucket clear needs a local stage root, got {self.root!r};"
+                    " non-local roots take the Iceberg overwritePartitions path"
+                    " (see module docstring)"
+                )
+            for bk in stale:
+                try:
+                    shutil.rmtree(os.path.join(self._path(stage), f"{BUCKET_COL}={bk}"))
+                except FileNotFoundError:
+                    pass  # bucket never existed — nothing stale to clear
         finally:
             b.unpersist()
         wall_ms = int((time.time() - t0) * 1000)
+        sfp = schema_fingerprint(df.schema)
         rows = []
         for bk in attempted:
             n, out_fp = stats.get(bk, (0, "0"))
             fp = (input_fps or {}).get(bk, out_fp)
-            rows.append((stage, bk, run_id, fp, n, wall_ms))
+            rows.append((stage, bk, run_id, fp, n, wall_ms, sfp))
         self.spark.createDataFrame(
             rows,
             "stage string, partition_id int, run_id string, "
-            "input_fingerprint string, row_count long, wall_ms long",
+            "input_fingerprint string, row_count long, wall_ms long, "
+            "schema_fp string",
         ).coalesce(1).write.mode("append").parquet(self._lineage_path())
         return run_id
 
@@ -148,31 +174,42 @@ class StageStore:
         ).write.mode("append").parquet(self._metrics_path())
 
     # ------------------------------------------------------------- read
-    def read_stage(self, stage: str, committed_only: bool = True) -> DataFrame:
+    def read_stage(self, stage: str, committed_only: bool = True,
+                   schema_fp: str | None = None) -> DataFrame:
         """The stage table, restricted to lineage-committed buckets:
         data whose lineage write never landed (a kill between the two
         writes) stays invisible until resume overwrites it — including
         when NO lineage write ever landed (zero committed buckets means
-        zero visible rows, not everything)."""
+        zero visible rows, not everything). ``schema_fp`` additionally
+        hides buckets committed under a DIFFERENT output schema."""
         df = self.spark.read.parquet(self._path(stage))
         if committed_only:
-            done = self.done_buckets(stage)
+            done = self.done_buckets(stage, schema_fp=schema_fp)
             df = df.where(F.col(BUCKET_COL).isin(done) if done else F.lit(False))
         return df.drop(BUCKET_COL)
 
     def lineage(self) -> DataFrame:
-        return self.spark.read.parquet(self._lineage_path())
+        # mergeSchema: lineage directories written before a column was
+        # added (e.g. schema_fp) stay readable, with nulls for the gap
+        return self.spark.read.option("mergeSchema", "true").parquet(self._lineage_path())
 
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(self._metrics_path())
 
-    def done_buckets(self, stage: str) -> list[int]:
+    def done_buckets(self, stage: str, schema_fp: str | None = None) -> list[int]:
+        """Buckets with a lineage row for ``stage``. With ``schema_fp``,
+        only rows whose recorded output schema matches count — a stale-
+        schema checkpoint is "not done" and gets recomputed (legacy rows
+        with no recorded fingerprint can't be verified and keep their
+        pre-guard behavior of counting as done)."""
         if not os.path.exists(self._lineage_path()):
             return []
-        rows = (
-            self.lineage().where(F.col("stage") == stage)
-            .select("partition_id").distinct().collect()
-        )
+        lin = self.lineage().where(F.col("stage") == stage)
+        if schema_fp is not None and "schema_fp" in lin.columns:
+            lin = lin.where(
+                F.col("schema_fp").isNull() | (F.col("schema_fp") == schema_fp)
+            )
+        rows = lin.select("partition_id").distinct().collect()
         return sorted(r.partition_id for r in rows)
 
     # ----------------------------------------------------------- resume
@@ -183,11 +220,17 @@ class StageStore:
         SURVEY.md §3 EP3), overwrite those buckets, return the full stage
         table. Every remaining bucket gets a lineage row (row_count 0 for
         empty ones), so the next resume short-circuits without reading
-        the input at all."""
-        done = set(self.done_buckets(stage))
+        the input at all.
+
+        Buckets committed under a different OUTPUT schema than the
+        current ``fn`` produces count as not-done (schema guard): the
+        expected schema comes from applying ``fn`` to an empty slice of
+        the input — plan analysis only, nothing executes."""
+        expected_fp = schema_fingerprint(fn(input_df.limit(0)).schema)
+        done = set(self.done_buckets(stage, schema_fp=expected_fp))
         remaining = [b for b in range(self.buckets) if b not in done]
         if not remaining:
-            return self.read_stage(stage)
+            return self.read_stage(stage, schema_fp=expected_fp)
         src = with_bucket(input_df, key, self.buckets)
         if done:
             src = src.where(~F.col(BUCKET_COL).isin(sorted(done)))
@@ -197,4 +240,4 @@ class StageStore:
         out = fn(src.drop(BUCKET_COL))
         self.write_stage(stage, out, key=key, run_id=run_id,
                          only_buckets=remaining, input_fps=input_fps)
-        return self.read_stage(stage)
+        return self.read_stage(stage, schema_fp=expected_fp)

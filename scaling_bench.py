@@ -111,17 +111,96 @@ def single(cpus: int) -> None:
     spark.stop()
 
 
+def _here(name: str) -> str:
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)), name)
+
+
+def _mode() -> str:
+    return os.environ.get("SCALING_MODE", "threads")
+
+
+def _persist() -> str:
+    return os.environ.get(
+        "SCALING_PERSIST", "DISK_ONLY" if _mode() == "executors" else "MEMORY_AND_DISK"
+    )
+
+
+def append_pair(rec: dict) -> None:
+    """One interleaved (small, big) pair → one line in SCALING_PAIRS.jsonl.
+    APPEND-ONLY: the pair ledger is the complete, unselected record of
+    every pair ever run; SCALING.json is always regenerated from the
+    union (VERDICT r3 #1a — the old per-campaign overwrite silently
+    dropped earlier campaigns' pairs)."""
+    with open(_here("SCALING_PAIRS.jsonl"), "a") as f:
+        f.write(json.dumps(rec) + "\n")
+
+
+def aggregate(campaign_note: str | None = None) -> dict:
+    """Regenerate SCALING.json from ALL ledger pairs matching the current
+    config (mode, n, n4, n_turns, persist) — every sample reported."""
+    pairs = []
+    with open(_here("SCALING_PAIRS.jsonl")) as f:
+        for line in f:
+            if line.strip():
+                pairs.append(json.loads(line))
+    sel = [
+        p for p in pairs
+        if p["mode"] == _mode() and p["n"] == CPUS_SMALL and p["n4"] == CPUS_BIG
+        and p["n_turns"] == N_TURNS and p["persist"] == _persist()
+    ]
+    if not sel:
+        raise SystemExit("no ledger pairs match the current config")
+    factor = CPUS_BIG / CPUS_SMALL
+    walls = {CPUS_SMALL: [p["wall_small"] for p in sel],
+             CPUS_BIG: [p["wall_big"] for p in sel]}
+    med = {c: statistics.median(w) for c, w in walls.items()}
+    best = {c: min(w) for c, w in walls.items()}
+    triples = sel[-1]["triples"]
+    pair_effs = [(p["wall_small"] / p["wall_big"]) / factor for p in sel]
+    summary = {
+        "metric": "scaling_efficiency_N_to_4N",
+        # the honest number: median over EVERY pair ever run at this
+        # config, across campaigns — never a per-campaign subset
+        "value": round(statistics.median(pair_effs), 3),
+        "value_min_based": round((best[CPUS_SMALL] / best[CPUS_BIG]) / factor, 3),
+        "pair_efficiencies": [round(e, 3) for e in pair_effs],
+        "n_pairs": len(sel),
+        "campaigns": sorted({p.get("campaign", "r3") for p in sel}),
+        "target": 0.8,
+        "mode": _mode(),  # executors = local-cluster[n,4,mem] + addPyFile,
+        #                   the north rule's literal N vs 4N executors shape
+        "persist": _persist(),
+        "pinned": PIN,
+        "n": CPUS_SMALL,
+        "n4": CPUS_BIG,
+        "n_turns": N_TURNS,
+        "triples": triples,
+        "median_wall_sec": {f"cpus[{c}]": round(med[c], 2) for c in med},
+        "min_wall_sec": {f"cpus[{c}]": round(best[c], 2) for c in best},
+        "triples_per_sec": {f"cpus[{c}]": round(triples / med[c], 1) for c in med},
+        "runs": {f"cpus[{c}]": [round(w, 2) for w in walls[c]] for c in walls},
+    }
+    with open(_here("SCALING.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--run":
         single(int(sys.argv[2]))
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--aggregate":
+        # regenerate SCALING.json from the ledger without running anything
+        print(json.dumps(aggregate()))
+        return
 
+    campaign = os.environ.get("SCALING_CAMPAIGN", "adhoc")
     stage_input()
     # INTERLEAVE configs: the sandbox host's available CPU varies over
     # minutes (co-tenant steal), so paired runs minutes apart are the
     # only fair comparison — grouped runs confound config with host load
-    results: dict[int, list[dict]] = {CPUS_SMALL: [], CPUS_BIG: []}
     for i in range(RUNS):
+        pair: dict[int, dict] = {}
         for cpus in (CPUS_SMALL, CPUS_BIG):
             cmd = [sys.executable, os.path.abspath(__file__), "--run", str(cpus)]
             if PIN:
@@ -134,51 +213,20 @@ def main() -> None:
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             )
             rec = json.loads(out.stdout.strip().splitlines()[-1])
-            results[cpus].append(rec)
+            pair[cpus] = rec
             print(f"  local[{cpus}] run {i}: {rec['wall']:.1f}s", file=sys.stderr)
+        # ledger the pair the moment it completes — a killed campaign
+        # loses at most the in-flight pair, never recorded ones
+        append_pair({
+            "campaign": campaign, "mode": _mode(), "persist": _persist(),
+            "pinned": PIN, "n": CPUS_SMALL, "n4": CPUS_BIG, "n_turns": N_TURNS,
+            "wall_small": round(pair[CPUS_SMALL]["wall"], 2),
+            "wall_big": round(pair[CPUS_BIG]["wall"], 2),
+            "triples": pair[CPUS_BIG]["triples"],
+        })
+        print(json.dumps(aggregate()), file=sys.stderr)
 
-    med = {c: statistics.median(r["wall"] for r in results[c]) for c in results}
-    best = {c: min(r["wall"] for r in results[c]) for c in results}
-    triples = results[CPUS_BIG][0]["triples"]
-    rate = {c: triples / med[c] for c in med}
-    factor = CPUS_BIG / CPUS_SMALL
-    # pair-wise: each interleaved (small, big) pair ran minutes apart and
-    # shares the same host weather — the median over PAIR efficiencies is
-    # robust to the one-sided co-tenant steal that only the big config
-    # absorbs (the small config leaves 28 of 32 host cores free)
-    pair_effs = [
-        (results[CPUS_SMALL][i]["wall"] / results[CPUS_BIG][i]["wall"]) / factor
-        for i in range(len(results[CPUS_BIG]))
-    ]
-    eff = statistics.median(pair_effs)
-    # min-based: each config's best run estimates unimpeded capability on
-    # this co-tenant-noisy host (runs minutes apart vary up to 3x)
-    eff_min = (best[CPUS_SMALL] / best[CPUS_BIG]) / factor
-    mode = os.environ.get("SCALING_MODE", "threads")
-    summary = {
-        "metric": "scaling_efficiency_N_to_4N",
-        "value": round(eff, 3),
-        "value_min_based": round(eff_min, 3),
-        "pair_efficiencies": [round(e, 3) for e in pair_effs],
-        "target": 0.8,
-        "mode": mode,  # executors = local-cluster[n,4,mem] + addPyFile,
-        #               the north rule's literal N vs 4N executors shape
-        "persist": os.environ.get(
-            "SCALING_PERSIST", "DISK_ONLY" if mode == "executors" else "MEMORY_AND_DISK"
-        ),
-        "pinned": PIN,
-        "n": CPUS_SMALL,
-        "n4": CPUS_BIG,
-        "n_turns": N_TURNS,
-        "triples": triples,
-        "median_wall_sec": {f"cpus[{c}]": round(med[c], 2) for c in med},
-        "min_wall_sec": {f"cpus[{c}]": round(best[c], 2) for c in best},
-        "triples_per_sec": {f"cpus[{c}]": round(rate[c], 1) for c in med},
-        "runs": {f"cpus[{c}]": [round(r["wall"], 2) for r in results[c]] for c in results},
-    }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "SCALING.json"), "w") as f:
-        json.dump(summary, f, indent=2)
-    print(json.dumps(summary))
+    print(json.dumps(aggregate()))
 
 
 if __name__ == "__main__":

@@ -166,11 +166,16 @@ def test_empty_buckets_get_lineage_and_short_circuit(spark, tmp_path):
     calls = []
 
     def poisoned(df):
-        calls.append(1)
+        # the schema guard applies fn ONCE to an empty slice of the input
+        # (plan analysis only — nothing executes); record what it got
+        calls.append(df)
         return fn(df)
 
     again = store.run_resumable("hot", t, poisoned, run_id="r2")
-    assert calls == []  # all-done short-circuit fired; input never re-read
+    # all-done short-circuit fired: fn was only consulted for its output
+    # schema on a zero-row slice — the input was never recomputed
+    assert len(calls) == 1 and calls[0].count() == 0
+    assert store.lineage().where(F.col("run_id") == "r2").count() == 0
     assert again.count() == t.where(F.col("conv_id") == "conv_hot").count()
 
 
