@@ -15,6 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .. import datagen
 from ..operators import (
@@ -48,6 +49,51 @@ class PipelineResult:
             df.unpersist(blocking)
 
 
+# Crossover for the slim-sentence path (round-4 interleaved A/B): 's'
+# rows carrying only (offset, length) + a JVM join+substring win 15-20%
+# at 2M+ turns (less Arrow traffic, smaller persist — the 16-cpu
+# memory-bandwidth bottleneck), but at bench scale (~400k turns) the
+# join+re-normalization overhead LOSES ~10-25% on the pipeline wall
+# (r2-vs-r3 pairs 5.12→6.70 / 5.22→5.57 / 5.14→6.60 s). Same shape as
+# the coref hot-conversation threshold: pay the extra shuffle only when
+# the Arrow savings outweigh it.
+SLIM_SENTENCE_THRESHOLD = 1 << 20
+
+# Coref skew machinery gate (round-4 probe, 400k turns, local[32]): the
+# hot-conversation DETECTION itself — a mention-level aggregation, a
+# broadcast semi/anti pair, and the (empty) segmented branch's extra
+# query stages — costs ~1.4-1.7s of a ~10s pipeline when NO conversation
+# is hot. Both coref paths are parity-identical, so detection is purely
+# a performance heuristic and may be gated on a cheap UPPER BOUND from
+# the turn table: a conversation can only exceed hot_threshold mentions
+# if it has > hot_threshold / BOUND turns (measured ~3.3 mentions/turn;
+# 16 is a safe over-estimate — being wrong costs a straggler window,
+# never a wrong row).
+COREF_HOT_THRESHOLD = 1 << 22
+COREF_MENTIONS_PER_TURN_BOUND = 16
+
+
+def _input_stats(transcripts: DataFrame) -> tuple[int, int]:
+    """(total turns, max turns in one conversation) in ONE column-pruned
+    map-side-combined job over the raw input."""
+    row = (
+        transcripts.groupBy("conv_id").agg(F.count(F.lit(1)).alias("_n"))
+        .agg(F.sum("_n").alias("n"), F.max("_n").alias("mx"))
+        .first()
+    )
+    return int(row["n"] or 0), int(row["mx"] or 0)
+
+
+def _slim_sentences(transcripts: DataFrame, slim: bool | None) -> bool:
+    """Resolve the adaptive default. One cheap job over the input;
+    annotate() and run_pipeline() both derive the SAME decision from the
+    same input, so a shared annotated table always matches the
+    split_sentences path."""
+    if slim is not None:
+        return slim
+    return _input_stats(transcripts)[0] >= SLIM_SENTENCE_THRESHOLD
+
+
 def default_dictionaries() -> tuple[set[str], set[str], set[str]]:
     """(first_names, gazetteer_names, last_names) from the synthesized
     dimension data — the stand-ins for the reference's model/gazetteer
@@ -66,22 +112,27 @@ def annotate(
     fabricate_metadata: bool = False,
     cache: bool = True,
     storage_level: str = "MEMORY_AND_DISK",
+    slim_sentences: bool | None = None,
 ) -> DataFrame:
     """The fused segment+tokenize+extract+NER pass alone, persisted —
     pass the result as ``run_pipeline(..., annotated=)`` to share ONE
     Python pass across several pipeline variants (VERDICT r2 #3: the
     differential evaluation runs base and comp over identical annotated
-    output; only linking/expansion differ)."""
+    output; only linking/expansion differ). ``slim_sentences`` defaults
+    to the same size-adaptive decision run_pipeline makes over the same
+    input, so the shared table always matches the downstream path."""
     from pyspark import StorageLevel
 
     gaz_rows = gazetteer_rows if gazetteer_rows is not None else datagen.gazetteer_rows()
     first_names, gaz_names, last_names = default_dictionaries()
     gaz_names |= {r[0] for r in gaz_rows}
+    slim = _slim_sentences(transcripts, slim_sentences)
     if fabricate_metadata:
         transcripts = assembly.fabricated_metadata_turns(transcripts)
     out = fused.parse_extract_annotate(
         assembly.with_turn_offsets(transcripts),
         first_names, gaz_names, last_names, rebalance=False,
+        emit_sentence_text=not slim,
     )
     return out.persist(getattr(StorageLevel, storage_level)) if cache else out
 
@@ -97,6 +148,8 @@ def run_pipeline(
     cache: bool = True,
     annotated: DataFrame | None = None,
     storage_level: str = "MEMORY_AND_DISK",
+    slim_sentences: bool | None = None,
+    coref_hot_threshold: int | None | str = "auto",
 ) -> PipelineResult:
     """Build the full DAG. With cache=True the fan-out points (parsed
     sentences feed BOTH extraction and NER; triples_raw feeds linking AND
@@ -119,6 +172,26 @@ def run_pipeline(
     gaz_rows = gazetteer_rows if gazetteer_rows is not None else datagen.gazetteer_rows()
     first_names, gaz_names, last_names = default_dictionaries()
     gaz_names |= {r[0] for r in gaz_rows}
+    # size-adaptive decisions (see SLIM_SENTENCE_THRESHOLD /
+    # COREF_HOT_THRESHOLD above), resolved from ONE cheap job over the
+    # RAW input — skipped entirely when the caller passes both
+    # explicitly (the scaling harness does, keeping its timed region
+    # identical across rounds). A shared annotate() over the same
+    # transcripts resolves the identical slim decision.
+    if slim_sentences is not None and coref_hot_threshold != "auto":
+        slim, hot_thr = slim_sentences, coref_hot_threshold
+    else:
+        n_turns, max_conv_turns = _input_stats(transcripts)
+        slim = (
+            slim_sentences if slim_sentences is not None
+            else n_turns >= SLIM_SENTENCE_THRESHOLD
+        )
+        if coref_hot_threshold != "auto":
+            hot_thr = coref_hot_threshold
+        elif max_conv_turns * COREF_MENTIONS_PER_TURN_BOUND > COREF_HOT_THRESHOLD:
+            hot_thr = COREF_HOT_THRESHOLD
+        else:
+            hot_thr = None  # no conversation can be hot: skip detection
 
     lvl = getattr(StorageLevel, storage_level)
     persisted: list[DataFrame] = []
@@ -146,18 +219,20 @@ def run_pipeline(
     # and entities are JVM filters over the persisted combined table.
     if annotated is None:
         annotated = _p(fused.parse_extract_annotate(
-            turns, first_names, gaz_names, last_names, rebalance=False
+            turns, first_names, gaz_names, last_names, rebalance=False,
+            emit_sentence_text=not slim,
         ))
-    # sentence text reconstructed JVM-side from the turn table (the 's'
-    # rows carry only offset+length — see parse_extract_annotate)
-    sents = fused.split_sentences(annotated, turns)
+    # slim: sentence text reconstructed JVM-side from the turn table (the
+    # 's' rows carry only offset+length); below the threshold the text
+    # rode inline through Arrow and no join is needed
+    sents = fused.split_sentences(annotated, turns if slim else None)
     triples_raw = fused.split_triples(annotated)
     mentions = fused.split_entities(annotated)
     # parsed (with token arrays) is API surface only — built on demand,
     # not part of the executed DAG
     parsed = fused.parsed_sentences(turns)
     ents, _prons = ner.split_mentions(mentions)
-    cl = _p(coref.clusters(mentions))
+    cl = _p(coref.clusters(mentions, hot_threshold=hot_thr))
 
     lk = None
     if with_linking:

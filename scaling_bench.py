@@ -101,11 +101,16 @@ def single(cpus: int) -> None:
     level = os.environ.get(
         "SCALING_PERSIST", "DISK_ONLY" if executors_mode else "MEMORY_AND_DISK"
     )
+    # Explicit size-class flags: the timed job must stay IDENTICAL to the
+    # recorded ledger pairs (no input-stats probe job; slim 's' rows and
+    # the skew-adaptive coref exactly as every prior campaign ran them —
+    # both are what the auto heuristics resolve at this scale anyway).
+    at_scale = dict(slim_sentences=True, coref_hot_threshold=1 << 22)
     # warmup: full code path on a small slice (JIT, Arrow, Python workers)
-    run_pipeline(spark, datagen.transcripts_df(spark, 2000)).triples.count()
+    run_pipeline(spark, datagen.transcripts_df(spark, 2000), **at_scale).triples.count()
     src = spark.read.parquet(_staged_path())
     t0 = time.time()
-    n = run_pipeline(spark, src, storage_level=level).triples.count()
+    n = run_pipeline(spark, src, storage_level=level, **at_scale).triples.count()
     wall = time.time() - t0
     print(json.dumps({"cpus": cpus, "wall": wall, "triples": n, "turns": N_TURNS}))
     spark.stop()
