@@ -78,10 +78,19 @@ def single(cpus: int) -> None:
         master = f"local-cluster[{n_exec},4,%s]" % os.environ.get("SCALING_EXEC_MEM_MB", "10240")
     else:
         master = f"local[{cpus}]"
+    # In executor mode persisted blocks are process-local to the executor
+    # that wrote them; the default 3s spark.locality.wait idles cores
+    # waiting for "the right" executor on one physical host where every
+    # sibling fetch is a localhost copy. SPARK_LOCALITY_WAIT=0 removes
+    # the wait (a real submitter tunes this to the cluster's network).
+    extra = {}
+    if os.environ.get("SPARK_LOCALITY_WAIT") is not None:
+        extra["spark.locality.wait"] = os.environ["SPARK_LOCALITY_WAIT"]
     spark = get_spark(
         app_name=f"scaling-{cpus}",
         master=master,
         shuffle_partitions=cpus * mult,
+        extra_conf=extra or None,
     )
     if executors_mode:
         # ship the library to executors — the north rule's --py-files
@@ -130,6 +139,15 @@ def _persist() -> str:
     )
 
 
+def _runtime_conf() -> dict:
+    """Config dimensions that change the measured job — recorded per pair
+    and matched by aggregate() so SCALING.json never mixes configs."""
+    return {
+        "local_dirs": os.environ.get("SPARK_LOCAL_DIRS", "default"),
+        "locality_wait": os.environ.get("SPARK_LOCALITY_WAIT", "default"),
+    }
+
+
 def append_pair(rec: dict) -> None:
     """One interleaved (small, big) pair → one line in SCALING_PAIRS.jsonl.
     APPEND-ONLY: the pair ledger is the complete, unselected record of
@@ -148,10 +166,12 @@ def aggregate(campaign_note: str | None = None) -> dict:
         for line in f:
             if line.strip():
                 pairs.append(json.loads(line))
+    conf = _runtime_conf()
     sel = [
         p for p in pairs
         if p["mode"] == _mode() and p["n"] == CPUS_SMALL and p["n4"] == CPUS_BIG
         and p["n_turns"] == N_TURNS and p["persist"] == _persist()
+        and all(p.get(k, "default") == v for k, v in conf.items())
     ]
     if not sel:
         raise SystemExit("no ledger pairs match the current config")
@@ -176,6 +196,7 @@ def aggregate(campaign_note: str | None = None) -> dict:
         #                   the north rule's literal N vs 4N executors shape
         "persist": _persist(),
         "pinned": PIN,
+        **_runtime_conf(),
         "n": CPUS_SMALL,
         "n4": CPUS_BIG,
         "n_turns": N_TURNS,
@@ -224,7 +245,8 @@ def main() -> None:
         # loses at most the in-flight pair, never recorded ones
         append_pair({
             "campaign": campaign, "mode": _mode(), "persist": _persist(),
-            "pinned": PIN, "n": CPUS_SMALL, "n4": CPUS_BIG, "n_turns": N_TURNS,
+            "pinned": PIN, **_runtime_conf(),
+            "n": CPUS_SMALL, "n4": CPUS_BIG, "n_turns": N_TURNS,
             "wall_small": round(pair[CPUS_SMALL]["wall"], 2),
             "wall_big": round(pair[CPUS_BIG]["wall"], 2),
             "triples": pair[CPUS_BIG]["triples"],

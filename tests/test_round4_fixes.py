@@ -168,3 +168,30 @@ def test_segment_turn_gap_after_closing_quote():
     ]
     for off, s in got:
         assert text[off : off + len(s)] == s
+
+
+# ------------------------------------------- KbpDocPrinter equivalent
+
+def test_doc_printer_sections(spark):
+    """The human-readable dump (tools/doc_printer.py ≙
+    KbpDocPrinter.scala:24-41) renders every section for a bounded
+    conversation via pushdown-filtered collects."""
+    import io
+    import sys
+
+    sys.path.insert(0, ".")
+    from docopenie_spark import datagen
+    from docopenie_spark.plans.pipeline import run_pipeline
+    from tools.doc_printer import print_conversation
+
+    t = datagen.transcripts_df(spark, 200)
+    r = run_pipeline(spark, t)
+    conv = t.select("conv_id").distinct().orderBy("conv_id").first().conv_id
+    buf = io.StringIO()
+    print_conversation(r, conv, out=buf)
+    s = buf.getvalue()
+    for section in ("Number of sentences:", "Text sample:",
+                    "Extracted Sentences:", "Links:", "Coref Clusters:",
+                    "Best Entity Mentions:"):
+        assert section in s, section
+    assert "conf:" in s  # at least one extraction printed
