@@ -295,7 +295,8 @@ def read_labeled_tsv(spark, path: str) -> DataFrame:
 # ------------------------------------------------------------------ A7
 
 def pr_curve(scored: DataFrame, label_col: str = "label",
-             conf_col: str = "confidence") -> DataFrame:
+             conf_col: str = "confidence",
+             quantize: int | None = None) -> DataFrame:
     """Cumulative precision in confidence-descending order + sawtooth
     removal by suffix-max (BestMentionClassifierAnalysis.scala:62-80).
 
@@ -313,14 +314,25 @@ def pr_curve(scored: DataFrame, label_col: str = "label",
     window over the bucket table. Per-row work is a bucket-partitioned
     row_number plus a join against the small bucket table — no exchange
     of the full data to one partition. (With continuous scores every row
-    is its own bucket and this degenerates to the total order; quantize
-    ``conf_col`` first at corpus scale.)
+    is its own bucket and this degenerates to the total order; pass
+    ``quantize=k`` at corpus scale.)
+
+    ``quantize``: round the confidence to k decimals BEFORE bucketing.
+    Continuous (e.g. LR) scores make every row its own bucket, so the
+    total-order bucket window sees the full data again; quantizing bounds
+    the bucket table at 10^k·2 rows regardless of corpus size. The output
+    ``confidence`` column is the quantized value (the curve over rounded
+    scores — standard PR-curve practice, disclosed), and the cumulative
+    precisions are exact for that rounding.
 
     Output is row-for-row identical to the total-order form: labels are
     0/1 and counts are exact in doubles, so the closed form reproduces
     the running average bit-for-bit (the DuckDB oracle stays green)."""
+    conf = F.col(conf_col).cast("double")
+    if quantize is not None:
+        conf = F.round(conf, quantize)
     base = scored.select(
-        F.col(conf_col).cast("double").alias("confidence"),
+        conf.alias("confidence"),
         F.col(label_col).cast("double").alias("label"),
     )
     buckets = base.groupBy("confidence", "label").agg(

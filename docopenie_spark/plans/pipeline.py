@@ -134,7 +134,16 @@ def annotate(
         first_names, gaz_names, last_names, rebalance=False,
         emit_sentence_text=not slim,
     )
-    return out.persist(getattr(StorageLevel, storage_level)) if cache else out
+    if cache:
+        out = out.persist(getattr(StorageLevel, storage_level))
+    # Record the resolved slim decision ON the annotated table (ADVICE
+    # r4): run_pipeline(annotated=) must join sentence text back exactly
+    # when this pass omitted it — re-deriving the decision from a
+    # possibly-different transcripts DataFrame could silently disagree
+    # and yield null/mis-substringed sentence text. The marker travels
+    # with the object, so run_pipeline prefers it over re-derivation.
+    out._docopenie_slim = slim
+    return out
 
 
 def run_pipeline(
@@ -178,6 +187,18 @@ def run_pipeline(
     # explicitly (the scaling harness does, keeping its timed region
     # identical across rounds). A shared annotate() over the same
     # transcripts resolves the identical slim decision.
+    # an annotate()-built table carries its own resolved slim decision
+    # (ADVICE r4): trust the marker over re-derivation — the fused pass
+    # either emitted inline sentence text or it did not, and only the
+    # producer knows. An explicit contradictory flag is a caller bug.
+    ann_slim = getattr(annotated, "_docopenie_slim", None)
+    if ann_slim is not None:
+        if slim_sentences is not None and slim_sentences != ann_slim:
+            raise ValueError(
+                f"slim_sentences={slim_sentences} contradicts the supplied "
+                f"annotated table, which was built with slim={ann_slim}"
+            )
+        slim_sentences = ann_slim
     if slim_sentences is not None and coref_hot_threshold != "auto":
         slim, hot_thr = slim_sentences, coref_hot_threshold
     else:

@@ -36,6 +36,7 @@ import os
 import shutil
 import time
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -175,7 +176,8 @@ class StageStore:
 
     # ------------------------------------------------------------- read
     def read_stage(self, stage: str, committed_only: bool = True,
-                   schema_fp: str | None = None) -> DataFrame:
+                   schema_fp: str | None = None,
+                   trust_legacy: bool = True) -> DataFrame:
         """The stage table, restricted to lineage-committed buckets:
         data whose lineage write never landed (a kill between the two
         writes) stays invisible until resume overwrites it — including
@@ -184,7 +186,8 @@ class StageStore:
         hides buckets committed under a DIFFERENT output schema."""
         df = self.spark.read.parquet(self._path(stage))
         if committed_only:
-            done = self.done_buckets(stage, schema_fp=schema_fp)
+            done = self.done_buckets(stage, schema_fp=schema_fp,
+                                     trust_legacy=trust_legacy)
             df = df.where(F.col(BUCKET_COL).isin(done) if done else F.lit(False))
         return df.drop(BUCKET_COL)
 
@@ -196,25 +199,42 @@ class StageStore:
     def metrics(self) -> DataFrame:
         return self.spark.read.parquet(self._metrics_path())
 
-    def done_buckets(self, stage: str, schema_fp: str | None = None) -> list[int]:
+    def done_buckets(self, stage: str, schema_fp: str | None = None,
+                     trust_legacy: bool = True) -> list[int]:
         """Buckets with a lineage row for ``stage``. With ``schema_fp``,
         only rows whose recorded output schema matches count — a stale-
-        schema checkpoint is "not done" and gets recomputed (legacy rows
-        with no recorded fingerprint can't be verified and keep their
-        pre-guard behavior of counting as done)."""
+        schema checkpoint is "not done" and gets recomputed. Legacy rows
+        with no recorded fingerprint can't be verified: by default they
+        keep their pre-guard behavior of counting as done, but LOUDLY —
+        a warning names the stage and bucket count, so a pre-guard
+        checkpoint is visibly trusted, never silently accepted (ADVICE
+        r4: the silent path was the exact stale-column hazard the guard
+        targets). ``trust_legacy=False`` treats them as not-done
+        instead (recompute)."""
         if not os.path.exists(self._lineage_path()):
             return []
         lin = self.lineage().where(F.col("stage") == stage)
         if schema_fp is not None and "schema_fp" in lin.columns:
-            lin = lin.where(
-                F.col("schema_fp").isNull() | (F.col("schema_fp") == schema_fp)
-            )
+            n_legacy = lin.where(F.col("schema_fp").isNull()).count()
+            if n_legacy and trust_legacy:
+                warnings.warn(
+                    f"checkpoint stage {stage!r}: {n_legacy} lineage rows "
+                    "predate the schema guard (no recorded fingerprint) and "
+                    "are trusted as-is; pass trust_legacy=False to recompute "
+                    "them under the current schema",
+                    stacklevel=2,
+                )
+            fp_ok = F.col("schema_fp") == schema_fp
+            if trust_legacy:
+                fp_ok = F.col("schema_fp").isNull() | fp_ok
+            lin = lin.where(fp_ok)
         rows = lin.select("partition_id").distinct().collect()
         return sorted(r.partition_id for r in rows)
 
     # ----------------------------------------------------------- resume
     def run_resumable(self, stage: str, input_df: DataFrame, fn,
-                      key: str = "conv_id", run_id: str | None = None) -> DataFrame:
+                      key: str = "conv_id", run_id: str | None = None,
+                      trust_legacy: bool = True) -> DataFrame:
         """Compute ``fn(input)`` only for buckets lineage has not recorded
         for ``stage`` (resume = anti-join of partitions against lineage,
         SURVEY.md §3 EP3), overwrite those buckets, return the full stage
@@ -227,10 +247,12 @@ class StageStore:
         expected schema comes from applying ``fn`` to an empty slice of
         the input — plan analysis only, nothing executes."""
         expected_fp = schema_fingerprint(fn(input_df.limit(0)).schema)
-        done = set(self.done_buckets(stage, schema_fp=expected_fp))
+        done = set(self.done_buckets(stage, schema_fp=expected_fp,
+                                     trust_legacy=trust_legacy))
         remaining = [b for b in range(self.buckets) if b not in done]
         if not remaining:
-            return self.read_stage(stage, schema_fp=expected_fp)
+            return self.read_stage(stage, schema_fp=expected_fp,
+                                   trust_legacy=trust_legacy)
         src = with_bucket(input_df, key, self.buckets)
         if done:
             src = src.where(~F.col(BUCKET_COL).isin(sorted(done)))
@@ -240,4 +262,5 @@ class StageStore:
         out = fn(src.drop(BUCKET_COL))
         self.write_stage(stage, out, key=key, run_id=run_id,
                          only_buckets=remaining, input_fps=input_fps)
-        return self.read_stage(stage, schema_fp=expected_fp)
+        return self.read_stage(stage, schema_fp=expected_fp,
+                               trust_legacy=trust_legacy)

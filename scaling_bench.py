@@ -176,6 +176,16 @@ def aggregate(campaign_note: str | None = None) -> dict:
     if not sel:
         raise SystemExit("no ledger pairs match the current config")
     factor = CPUS_BIG / CPUS_SMALL
+    # the full same-WORKLOAD history across runtime configs (ADVICE r4:
+    # README+SCALING.json alone must show that earlier, worse pairs under
+    # the pre-gated config exist) — selection by workload only, config
+    # dimensions free
+    wl = [
+        p for p in pairs
+        if p["mode"] == _mode() and p["n"] == CPUS_SMALL and p["n4"] == CPUS_BIG
+        and p["n_turns"] == N_TURNS and p["persist"] == _persist()
+    ]
+    wl_effs = [(p["wall_small"] / p["wall_big"]) / factor for p in wl]
     walls = {CPUS_SMALL: [p["wall_small"] for p in sel],
              CPUS_BIG: [p["wall_big"] for p in sel]}
     med = {c: statistics.median(w) for c, w in walls.items()}
@@ -205,6 +215,30 @@ def aggregate(campaign_note: str | None = None) -> dict:
         "min_wall_sec": {f"cpus[{c}]": round(best[c], 2) for c in best},
         "triples_per_sec": {f"cpus[{c}]": round(triples / med[c], 1) for c in med},
         "runs": {f"cpus[{c}]": [round(w, 2) for w in walls[c]] for c in walls},
+        # per-pair canary readings where the campaign recorded them:
+        # [before-4cpu-leg, before-16cpu-leg] GB/s, null = not recorded
+        # (the r4-16m-3 campaign gated/recorded only the wide leg —
+        # ADVICE r4 flagged the asymmetry; later campaigns record both)
+        "canary_gbs_per_pair": [
+            [p.get("canary_small"), p.get("canary_big", p.get("canary_gbs"))]
+            for p in sel
+        ],
+        "protocol_note": (
+            "Headline pairs are gated on a host memory-bandwidth canary "
+            "(tools/gated_scaling.py: launch waits up to 10 min for a "
+            "quiet window; gating affects timing only, every completed "
+            "pair is ledgered) and run under the disclosed tmpfs/"
+            "locality config above. The complete unselected history "
+            "lives in SCALING_PAIRS.jsonl; same-workload pairs across "
+            "ALL configs (incl. pre-gated ones) are summarized in "
+            "all_configs below."
+        ),
+        "all_configs": {
+            "n_pairs": len(wl),
+            "median_eff": round(statistics.median(wl_effs), 3) if wl_effs else None,
+            "pair_efficiencies": [round(e, 3) for e in wl_effs],
+        },
+        "ledger": "SCALING_PAIRS.jsonl",
     }
     with open(_here("SCALING.json"), "w") as f:
         json.dump(summary, f, indent=2)

@@ -1,0 +1,223 @@
+"""Round-5 regression tests: ADVICE r4 fixes (legacy checkpoint
+fingerprints surfaced, annotate() slim-decision marker) + VERDICT r4
+directives (pr_curve quantization, fused-pass robustness fuzzing).
+"""
+
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from docopenie_spark import datagen
+from docopenie_spark.functions import textnorm
+from docopenie_spark.operators import classifier, fused, segment, tokenize
+from docopenie_spark.operators.assembly import with_turn_offsets
+from docopenie_spark.plans.pipeline import annotate, run_pipeline
+from docopenie_spark.sources.checkpoints import StageStore
+
+
+# ------------------------------------ ADVICE: legacy null-fp checkpoints
+
+def _null_out_fingerprints(spark, store, tmp_path):
+    """Simulate a pre-guard checkpoint: rewrite lineage with schema_fp
+    nulled (the column existed but the rows predate the guard)."""
+    lin_path = store._lineage_path()
+    lin = spark.read.parquet(lin_path)
+    legacy = lin.withColumn("schema_fp", F.lit(None).cast("string"))
+    tmp = str(tmp_path / "_legacy_lineage")
+    legacy.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(lin_path)
+    shutil.move(tmp, lin_path)
+
+
+def test_legacy_null_fingerprint_trusted_but_warns(spark, tmp_path):
+    """ADVICE r4: lineage rows with no recorded schema_fp used to count
+    as done SILENTLY — the exact stale-column hazard the guard targets.
+    They still count (pre-guard compatibility) but now emit a warning."""
+    store = StageStore(spark, str(tmp_path / "ck"), buckets=4)
+    src = spark.range(20).select(
+        F.col("id").cast("string").alias("conv_id"), F.col("id").alias("v")
+    )
+    store.run_resumable("s", src, lambda d: d.select("conv_id", "v"))
+    _null_out_fingerprints(spark, store, tmp_path)
+
+    # same schema, different values: if the legacy buckets were NOT
+    # trusted this fn would overwrite v with 99s
+    with pytest.warns(UserWarning, match="predate the schema guard"):
+        out = store.run_resumable(
+            "s", src, lambda d: d.select("conv_id", F.lit(99).cast("long").alias("v"))
+        )
+    vals = {r.v for r in out.collect()}
+    assert vals == set(range(20)), "legacy checkpoint must be read back, not recomputed"
+
+
+def test_legacy_null_fingerprint_recomputed_when_untrusted(spark, tmp_path):
+    store = StageStore(spark, str(tmp_path / "ck"), buckets=4)
+    src = spark.range(20).select(
+        F.col("id").cast("string").alias("conv_id"), F.col("id").alias("v")
+    )
+    store.run_resumable("s", src, lambda d: d.select("conv_id", "v"))
+    _null_out_fingerprints(spark, store, tmp_path)
+
+    assert store.done_buckets(
+        "s", schema_fp="anything", trust_legacy=False
+    ) == []
+    out = store.run_resumable(
+        "s", src, lambda d: d.select("conv_id", F.lit(99).cast("long").alias("v")),
+        trust_legacy=False,
+    )
+    assert {r.v for r in out.collect()} == {99}, "untrusted legacy must recompute"
+
+
+# ------------------------------------- ADVICE: annotate() slim marker
+
+def test_annotate_records_slim_decision_and_pipeline_prefers_it(spark):
+    t = datagen.transcripts_df(spark, 400)
+    # force the AT-SCALE path at test scale: 's' rows carry no inline
+    # text, so sentence text MUST come from the turns join. Before the
+    # marker, run_pipeline re-derived slim=False from the small input and
+    # read the (null) inline text.
+    ann = annotate(spark, t, slim_sentences=True)
+    assert ann._docopenie_slim is True
+    r_marked = run_pipeline(spark, t, annotated=ann)
+    r_plain = run_pipeline(spark, t)
+    got = {tuple(x) for x in r_marked.sentences.select(
+        "conv_id", "turn_idx", "sent_num", "offset", "text").collect()}
+    want = {tuple(x) for x in r_plain.sentences.select(
+        "conv_id", "turn_idx", "sent_num", "offset", "text").collect()}
+    assert got == want and got, "marker must route sentence text through the join"
+    assert r_marked.triples.count() == r_plain.triples.count()
+    r_marked.unpersist(); r_plain.unpersist(); ann.unpersist()
+
+
+def test_annotate_marker_contradiction_raises(spark):
+    t = datagen.transcripts_df(spark, 200)
+    ann = annotate(spark, t, slim_sentences=False)
+    with pytest.raises(ValueError, match="contradicts"):
+        run_pipeline(spark, t, annotated=ann, slim_sentences=True)
+    ann.unpersist()
+
+
+# ------------------------------------------ VERDICT: pr_curve quantize
+
+def test_pr_curve_quantize_bounds_bucket_table(spark):
+    """Continuous scores degenerate the bucket table to per-row;
+    quantize=k bounds it. The curve must equal running pr_curve over
+    pre-rounded scores (quantization IS pre-rounding, nothing more)."""
+    n = 400
+    scored = spark.range(n).select(
+        (1.0 / (F.col("id") + 1)).alias("confidence"),
+        (F.col("id") % 3 == 0).cast("double").alias("label"),
+    )
+    out = classifier.pr_curve(scored, quantize=2)
+    assert out.count() == n
+    n_buckets = out.select("confidence", "label").distinct().count()
+    assert n_buckets <= 2 * 10 ** 2 + 2, "bucket table must be bounded by 10^k"
+
+    pre_rounded = scored.withColumn("confidence", F.round("confidence", 2))
+    want = classifier.pr_curve(pre_rounded)
+    cols = ["confidence", "label", "precision", "precision_smoothed"]
+    assert sorted(map(tuple, out.select(cols).collect())) == sorted(
+        map(tuple, want.select(cols).collect())
+    )
+
+
+def test_pr_curve_unquantized_unchanged(spark):
+    """quantize=None keeps the exact legacy output (the DuckDB oracle
+    depends on it)."""
+    scored = spark.range(50).select(
+        ((F.col("id") % 7) / 7.0).alias("confidence"),
+        (F.col("id") % 2).cast("double").alias("label"),
+    )
+    a = classifier.pr_curve(scored).orderBy("confidence", "label", "precision")
+    b = classifier.pr_curve(scored, quantize=None).orderBy(
+        "confidence", "label", "precision")
+    assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
+
+
+# --------------------------- VERDICT: fused-pass pathological-turn fuzz
+
+ADVERSARIAL_TURNS = [
+    "",                                   # empty
+    "   ",                                # whitespace only
+    "....",                               # terminator-only run
+    "?!?! .. !!",                         # terminator runs with spaces
+    '"' * 10,                             # closing-quote-only
+    "a" * 751,                            # one token past the P1 length cap
+    ("word " * 149 + "end."),             # just under the cap, terminated
+    "x" * 750,                            # exactly at the cap, no terminator
+    "café naïve résumé jalapeño.",   # beyond asciify map
+    "中文文本 没有 终止符",  # CJK
+    "emoji \U0001f600 mid sentence. tail",
+    "combining á chars étude here.",
+    "tabs\tand\nnewlines\rmix. second sentence here",
+    "'quoted start.' \"double.\" (paren.) [brack.]",
+    "no terminator at all just words",
+    "ends mid'apostrophe tok'",
+    "\x00null\x01control\x02chars here.",
+    "a.b.c.d.e.f.g",                      # terminator between every token
+    ". leading terminator",
+    "………",                 # ellipsis chars (asciify → ...)
+]
+
+
+def _assert_turn_invariants(text):
+    """The per-turn invariants the reference guarantees by swallowing
+    segmenter exceptions (Sentencer.scala:55-94): no exception escapes,
+    and every offset indexes the normalized turn text exactly."""
+    norm = textnorm.normalize_inline_ws_py(textnorm.asciify_py(text))
+    assert len(norm) == len(text), "normalization must be length-preserving"
+    for local, s in segment.segment_turn(norm):
+        assert norm[local:local + len(s)] == s
+        toks = tokenize.tokenize_sentence(s)
+        for tok in toks:
+            w, start = tok[tokenize.TOK], tok[tokenize.START]
+            assert s[start:start + len(w)] == w
+
+
+def test_fused_pass_survives_adversarial_turns_pure():
+    for t in ADVERSARIAL_TURNS:
+        _assert_turn_invariants(t)
+
+
+def test_fused_pass_survives_adversarial_turns_hypothesis():
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @given(st.text(max_size=900))
+    @settings(max_examples=300, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    def run(text):
+        _assert_turn_invariants(text)
+
+    run()
+
+
+def test_fused_pass_spark_end_to_end_on_adversarial_corpus(spark):
+    """The actual Arrow pass over the adversarial corpus: no task death,
+    sentence (offset, len) always substrings the normalized doc text."""
+    rows = [
+        (f"c{i % 4}", i // 4, "user", t, None, None)
+        for i, t in enumerate(ADVERSARIAL_TURNS)
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, "
+              "tool string, ts timestamp",
+    )
+    turns = with_turn_offsets(t)
+    ann = fused.parse_extract_annotate(turns, set(), set(), set())
+    sents = fused.split_sentences(ann, turns).collect()
+    norm_turn = {
+        (r["conv_id"], r["turn_idx"]): (r["turn_offset"], r["text"])
+        for r in turns.select(
+            "conv_id", "turn_idx", "turn_offset",
+            textnorm.normalize_inline_ws(
+                textnorm.asciify(F.col("text"))).alias("text"),
+        ).collect()
+    }
+    assert sents, "the near-cap terminated sentence must survive the P1 filter"
+    for r in sents:
+        off, txt = norm_turn[(r["conv_id"], r["turn_idx"])]
+        local = r["offset"] - off
+        assert txt[local:local + len(r["text"])] == r["text"]

@@ -1,14 +1,20 @@
 """Quiet-gated scaling campaign (the protocol behind SCALING.json's
-r4-16m-3 evidence).
+r4-16m-3 and r5 evidence).
 
 This sandbox host is co-tenant-noisy, and the interference arrives as
 MEMORY-BANDWIDTH pressure (vmstat steal stays 0-6% during 1.9x-slow
 runs — see BASELINE.md item 14), one-sided against the wide config. The
 honest fix is experimental, not statistical: measure when the host is
 fair. An 8-process numpy bandwidth canary (tools/host_canary.py; quiet
-= 75-85 GB/s aggregate on the target cores) gates the LAUNCH of the
-16-cpu leg — up to 10 minutes of waiting, then run regardless. Every
-pair that runs is appended to SCALING_PAIRS.jsonl unconditionally; no
+= 75-85 GB/s aggregate on the target cores) gates the LAUNCH of BOTH
+legs of a pair — up to 10 minutes of waiting per leg, then run
+regardless — and a canary reading is recorded immediately before each
+leg (``canary_small`` / ``canary_big`` in the ledger), so the
+quiet-at-launch claim is checkable PER LEG from data. (The r4-16m-3
+campaign gated only the wide leg; ADVICE r4 flagged that asymmetry —
+co-tenant noise kept in the small-leg numerator inflates efficiency —
+so round-5 pairs gate and record both legs symmetrically.) Every pair
+that runs is appended to SCALING_PAIRS.jsonl unconditionally; no
 measured result is ever discarded.
 
 Config (disclosed per pair and matched by scaling_bench.aggregate):
@@ -51,6 +57,19 @@ def canary() -> float:
     return float(out.stdout.strip())
 
 
+def gate(label: str) -> float:
+    """Wait (bounded) for a bandwidth-quiet host; return the reading
+    recorded immediately before the leg launches. Gates TIMING only —
+    after 10 minutes the leg runs regardless, and every pair that runs
+    is ledgered."""
+    t0, c = time.time(), canary()
+    while c < QUIET_GBS and time.time() - t0 < 600:
+        print(f"  gated ({label}): canary {c}", flush=True)
+        time.sleep(45)
+        c = canary()
+    return c
+
+
 def leg(cpus: int) -> dict:
     cmd = ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
            os.path.join(HERE, "scaling_bench.py"), "--run", str(cpus)]
@@ -63,21 +82,19 @@ def main() -> None:
     sb.stage_input()
     n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 5
     for i in range(n_pairs):
-        s = leg(4)  # narrow leg: steal-immune, ungated
-        print("pair", i, "4cpu", round(s["wall"], 1), flush=True)
-        t0, c = time.time(), canary()
-        while c < QUIET_GBS and time.time() - t0 < 600:
-            print("  gated: canary", c, flush=True)
-            time.sleep(45)
-            c = canary()
+        cs = gate("4cpu")  # symmetric: narrow leg gated + recorded too
+        s = leg(4)
+        print("pair", i, "4cpu", round(s["wall"], 1), "canary", cs, flush=True)
+        cb = gate("16cpu")
         b = leg(16)
-        print("pair", i, "16cpu", round(b["wall"], 1), "canary", c, flush=True)
+        print("pair", i, "16cpu", round(b["wall"], 1), "canary", cb, flush=True)
         sb.append_pair({
             "campaign": CAMPAIGN, "mode": "executors", "persist": "DISK_ONLY",
             "pinned": True, "local_dirs": "/dev/shm/spark", "locality_wait": "0",
             "n": 4, "n4": 16, "n_turns": sb.N_TURNS,
             "wall_small": round(s["wall"], 2), "wall_big": round(b["wall"], 2),
-            "triples": b["triples"], "canary_gbs": c,
+            "triples": b["triples"],
+            "canary_small": cs, "canary_big": cb, "canary_gbs": cb,
         })
         print(json.dumps(sb.aggregate()), flush=True)
         os.system("rm -rf /dev/shm/spark/* 2>/dev/null")
