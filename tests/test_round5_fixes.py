@@ -136,6 +136,51 @@ def test_pr_curve_unquantized_unchanged(spark):
     assert [tuple(r) for r in a.collect()] == [tuple(r) for r in b.collect()]
 
 
+# ----------------------------------------- plan shape: NLP pass narrow
+
+def test_fused_pass_adds_no_exchange_over_assembly(spark):
+    """The salted turn-offset scan already partitions on (conv_id, salt);
+    the fused segment+tokenize+extract+NER pass must ride that
+    partitioning as a NARROW stage — zero additional shuffles between
+    assembly and extraction (the 100 TB invariant: the only full-table
+    exchange in the spine is the one balanced salted shuffle)."""
+    t = datagen.transcripts_df(spark, 400)
+    turns = with_turn_offsets(t)
+    base = turns._jdf.queryExecution().executedPlan().toString()
+    ann = fused.parse_extract_annotate(turns, set(), set(), set())
+    full = ann._jdf.queryExecution().executedPlan().toString()
+    assert full.count("Exchange") == base.count("Exchange")
+    assert "MapInPandas" in full
+
+
+# -------------------------- kg_ner_spans oracle is non-vacuous (DuckDB)
+
+def test_ner_oracle_covers_every_classify_branch():
+    """The external NER check is only as strong as its coverage: the
+    DuckDB side alone must produce all four entity types AND merged
+    multi-name spans at the smallest sf (guards against a datagen or
+    injection change silently collapsing the oracle to one branch)."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    sql = e.oracle_sql()["kg_ner_spans"]
+    types = {r[0] for r in con.execute(
+        f"SELECT DISTINCT entity_type FROM ({sql})").fetchall()}
+    assert types == {"PERSON", "ORGANIZATION", "LOCATION", "OTHER"}
+    merged = con.execute(
+        f"SELECT count(*) FROM ({sql}) "
+        "WHERE len(string_split(name, ' ')) > 1 "
+        "AND name NOT IN ('Alice Navarro', 'Summit Research Group')"
+    ).fetchone()[0]
+    assert merged > 0, "adjacency-merged spans must be exercised"
+
+
 # --------------------------- VERDICT: fused-pass pathological-turn fuzz
 
 ADVERSARIAL_TURNS = [
