@@ -429,6 +429,110 @@ def _q_kg_ner_spans(spark, sf_dir):
     return ents
 
 
+# T4 verbal extraction with a REAL oracle (VERDICT r4 #3, second spine
+# stage this round): on the RAW word-soup corpus the tagger's verb set
+# intersects the 31-word vocabulary in exactly ONE word — "join"
+# (operators/tokenize.py VERB_LEMMAS; every other vocab word tags NN or
+# DT, verified by the reduction test) — and "join" is a verb iff NOT
+# preceded by a determiner ("a"/"the" are the only DT words), a
+# NON-recursive rule. No prepositions, commas, or NNPs exist, so:
+# relnoun never fires, the V W* P extension never fires, multi-arg2
+# flattening never fires, and extract_verbal reduces exactly to: for
+# every maximal join-run not at sentence start/end, (arg1 = adjacent NP
+# run left, rel = the join run, arg2 = adjacent NP run right) with
+# confidence round(0.90 - 0.005*(run_len-1), 4). The DuckDB oracle
+# re-derives this with gaps-and-islands runs + adjacency joins.
+def _q_kg_extraction(spark, sf_dir):
+    """T4 verbal extraction externally checked — the real fused pass
+    (same code run_pipeline executes) over raw derived transcripts,
+    triples flattened with doc-level offsets."""
+    from docopenie_spark.operators import fused
+    from docopenie_spark.plans.pipeline import default_dictionaries
+
+    t = derived_from_documents(_docs(spark, sf_dir))
+    turns = assembly.with_turn_offsets(t)
+    firsts, gaz, lasts = default_dictionaries()
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    tr = fused.split_triples(ann)
+    return tr.select(
+        "conv_id", "turn_idx", "sent_num",
+        F.col("arg1.text").alias("arg1"),
+        F.col("arg1.offset").alias("arg1_offset"),
+        F.col("rel.text").alias("rel"),
+        F.col("rel.offset").alias("rel_offset"),
+        F.col("arg2.text").alias("arg2"),
+        F.col("arg2.offset").alias("arg2_offset"),
+        "confidence", "extractor",
+    )
+
+
+_EXTRACTION_ORACLE_SQL = """
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), t AS (
+      SELECT doc_id, words,
+             unnest(generate_series(0, cast(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS j
+      FROM w
+    ), turns AS (
+      SELECT cast(doc_id AS VARCHAR) AS conv_id,
+             cast(j AS INT) AS turn_idx,
+             array_to_string(words[(j*10+1):(j*10+10)], ' ') AS text
+      FROM t
+    ), turns_o AS (
+      SELECT conv_id, turn_idx, text,
+             coalesce(sum(length(text) + 1) OVER (
+                 PARTITION BY conv_id ORDER BY turn_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS turn_offset
+      FROM turns
+    ), kept AS (
+      SELECT * FROM turns_o
+      WHERE length(text) <= 750
+        AND len(string_split_regex(trim(text), '\\s+')) >= 4
+    ), tw AS (
+      SELECT conv_id, turn_idx, turn_offset,
+             unnest(string_split(text, ' ')) AS word,
+             generate_subscripts(string_split(text, ' '), 1) AS k
+      FROM kept
+    ), pos AS (
+      SELECT conv_id, turn_idx, turn_offset, word, k,
+             coalesce(sum(length(word) + 1) OVER (
+                 PARTITION BY conv_id, turn_idx ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS spos
+      FROM tw
+    ), tagged AS (
+      -- verb ⇔ "join" not preceded by a determiner (turn-initial counts
+      -- as unpreceded); everything else is NP material
+      SELECT *, (word = 'join' AND coalesce(lag(word) OVER (
+                 PARTITION BY conv_id, turn_idx ORDER BY k), '')
+                 NOT IN ('a', 'the')) AS is_vb
+      FROM pos
+    ), runs AS (
+      SELECT *, k - row_number() OVER (
+                 PARTITION BY conv_id, turn_idx, is_vb ORDER BY k) AS grp
+      FROM tagged
+    ), segs AS (
+      SELECT conv_id, turn_idx, is_vb, grp,
+             min(turn_offset) AS turn_offset,
+             min(k) AS k0, max(k) AS k1, min(spos) AS s0,
+             string_agg(word, ' ' ORDER BY k) AS txt,
+             count(*) AS nw
+      FROM runs GROUP BY conv_id, turn_idx, is_vb, grp
+    ), vb AS (SELECT * FROM segs WHERE is_vb),
+    np AS (SELECT * FROM segs WHERE NOT is_vb)
+    SELECT v.conv_id, v.turn_idx, cast(0 AS INT) AS sent_num,
+           a1.txt AS arg1, cast(v.turn_offset + a1.s0 AS BIGINT) AS arg1_offset,
+           v.txt AS rel, cast(v.turn_offset + v.s0 AS BIGINT) AS rel_offset,
+           a2.txt AS arg2, cast(v.turn_offset + a2.s0 AS BIGINT) AS arg2_offset,
+           round(0.90 - 0.005 * (v.nw - 1), 4) AS confidence,
+           'verb' AS extractor
+    FROM vb v
+    JOIN np a1 ON a1.conv_id = v.conv_id AND a1.turn_idx = v.turn_idx
+              AND a1.k1 = v.k0 - 1
+    JOIN np a2 ON a2.conv_id = v.conv_id AND a2.turn_idx = v.turn_idx
+              AND a2.k0 = v.k1 + 1
+"""
+
+
 # -------- KG pipeline stages (non-SQL-expressible → rows-only checks)
 
 def _q_kg_sentences(spark, sf_dir):
@@ -543,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": _q_lsh_recall,
         "kg_segmentation": _q_kg_segmentation,
         "kg_ner_spans": _q_kg_ner_spans,
+        "kg_extraction": _q_kg_extraction,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_entities": _q_kg_entities,
@@ -811,6 +916,9 @@ def oracle_sql() -> dict[str, str]:
         # T7/T8 NER, externally checked (VERDICT r4 #3) — see
         # _ner_oracle_sql for the regex reduction argument
         "kg_ner_spans": _ner_oracle_sql(),
+        # T4 verbal extraction, externally checked — see _q_kg_extraction
+        # for the single-verb-vocabulary reduction argument
+        "kg_extraction": _EXTRACTION_ORACLE_SQL,
         # remaining kg_* stages are deterministic NLP transforms over the
         # seeded transcript generator — not SQL-expressible; rows-only.
     }

@@ -181,6 +181,55 @@ def test_ner_oracle_covers_every_classify_branch():
     assert merged > 0, "adjacency-merged spans must be exercised"
 
 
+# ---------------------- kg_extraction oracle reduction holds (no Spark)
+
+def test_extraction_oracle_vocabulary_reduction():
+    """The T4 oracle's closed form rests on: the corpus vocabulary tags
+    entirely NN/DT except "join" (VB), and "join" is a verb iff not
+    preceded by a determiner. Verify against the ACTUAL sf0.001
+    vocabulary through the real tagger, so a tokenizer or datagen change
+    breaks THIS test before it silently breaks the oracle."""
+    import duckdb
+
+    words = [r[0] for r in duckdb.connect().execute(
+        "SELECT DISTINCT unnest(string_split(text, ' ')) FROM "
+        "'/root/testdata/sf0.001/documents.parquet'").fetchall()]
+    assert len(words) > 20
+    for w in words:
+        # mid-sentence after a noun
+        toks = tokenize.tokenize_sentence("x " + w)
+        tag = toks[1][tokenize.POS]
+        if w == "join":
+            assert tag == "VB", w
+        elif w in ("a", "the"):
+            assert tag == "DT", w
+        else:
+            assert tag in ("NN", "NNS"), (w, tag)
+        # after a determiner: the noun reading must win
+        toks = tokenize.tokenize_sentence("the " + w)
+        if w == "join":
+            assert toks[1][tokenize.POS] == "NN", "DT-gating broken"
+
+
+def test_extraction_oracle_nonvacuous():
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    sql = e.oracle_sql()["kg_extraction"]
+    n, max_a1, max_a2 = con.execute(
+        f"SELECT count(*), max(len(string_split(arg1, ' '))), "
+        f"max(len(string_split(arg2, ' '))) FROM ({sql})"
+    ).fetchone()
+    assert n > 50, "extraction oracle must fire on the corpus"
+    assert max_a1 > 1 and max_a2 > 1, "multi-word NP arguments must occur"
+
+
 # --------------------------- VERDICT: fused-pass pathological-turn fuzz
 
 ADVERSARIAL_TURNS = [
