@@ -332,16 +332,18 @@ def _sql_strset(names) -> str:
     return ", ".join("'" + n + "'" for n in sorted(names))
 
 
-def _ner_oracle_sql() -> str:
-    """DuckDB twin of _q_kg_ner_spans (see its comment block for why the
-    reduction to regex is exact on this corpus). Dictionary literals are
-    generated from the same datagen constants the Spark side broadcasts."""
+def _spans_chain_sql(inject_pats) -> str:
+    """Shared CTE chain for the spine oracles: injected corpus → 10-word
+    turns → offsets → P1 filter → per-word positions → capitalized-run
+    spans → classified entities (``cls``: conv_id, off, name, entity_type).
+    Dictionary literals are generated from the same datagen constants the
+    Spark side broadcasts."""
     from docopenie_spark.plans.pipeline import default_dictionaries
 
     firsts, gaz, lasts = default_dictionaries()
     gaz = gaz | {r[0] for r in datagen.gazetteer_rows()}
     inject = "text"
-    for pat, rep in _NER_INJECT:
+    for pat, rep in inject_pats:
         inject = f"regexp_replace({inject}, '{pat}', '{rep}', 'g')"
     return f"""
         WITH src AS (
@@ -394,21 +396,34 @@ def _ner_oracle_sql() -> str:
                  arg_max(word, k) AS last_w,
                  count(*) AS nw
           FROM caps GROUP BY conv_id, turn_idx, grp
-        )
+        ), cls AS (
+          SELECT conv_id,
+                 name,
+                 nw,
+                 cast(turn_offset + s_start AS BIGINT) AS off,
+                 CASE
+                   WHEN last_w IN ({_sql_strset(ner.ORG_SUFFIXES)}) THEN 'ORGANIZATION'
+                   WHEN first_w IN ({_sql_strset(firsts)}) THEN 'PERSON'
+                   WHEN name IN ({_sql_strset(gaz)}) THEN 'LOCATION'
+                   WHEN nw = 1 AND length(name) BETWEEN 2 AND 5
+                        AND name = upper(name) THEN 'ORGANIZATION'
+                   WHEN nw = 1 AND name IN ({_sql_strset(lasts)}) THEN 'PERSON'
+                   ELSE 'OTHER'
+                 END AS entity_type
+          FROM spans
+        )"""
+
+
+def _ner_oracle_sql() -> str:
+    """DuckDB twin of _q_kg_ner_spans (see its comment block for why the
+    reduction to regex is exact on this corpus)."""
+    return _spans_chain_sql(_NER_INJECT) + """
         SELECT conv_id,
                name AS text,
-               cast(turn_offset + s_start AS BIGINT) AS "offset",
+               off AS "offset",
                name,
-               CASE
-                 WHEN last_w IN ({_sql_strset(ner.ORG_SUFFIXES)}) THEN 'ORGANIZATION'
-                 WHEN first_w IN ({_sql_strset(firsts)}) THEN 'PERSON'
-                 WHEN name IN ({_sql_strset(gaz)}) THEN 'LOCATION'
-                 WHEN nw = 1 AND length(name) BETWEEN 2 AND 5
-                      AND name = upper(name) THEN 'ORGANIZATION'
-                 WHEN nw = 1 AND name IN ({_sql_strset(lasts)}) THEN 'PERSON'
-                 ELSE 'OTHER'
-               END AS entity_type
-        FROM spans
+               entity_type
+        FROM cls
     """
 
 
@@ -427,6 +442,135 @@ def _q_kg_ner_spans(spark, sf_dir):
     ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
     ents, _prons = ner.split_mentions(fused.split_entities(ann))
     return ents
+
+
+# T6 coreference with a REAL oracle (third spine stage this round): the
+# entity-injected corpus plus three injected pronouns. Reduction: doc
+# offsets are UNIQUE per conversation (token starts of disjoint spans in
+# non-overlapping sentences), so nearest-strictly-preceding-antecedent
+# is an unambiguous IGNORE NULLS running window — the same shape the
+# native resolver uses (operators/coref.py _resolve_plain). Cluster keys
+# (last-name / acronym / lowered-name, coref.mention_key), the >= 2
+# survival filter, first-entity-appearance cluster numbering, and the
+# longest-text-earliest-offset representative are all closed-form SQL.
+# he/it/they cover the PERSON / thing / plural(org-else-any) resolution
+# branches; "its" is deliberately NOT injected (the tagger reads it as a
+# determiner, so it never becomes a pronoun mention).
+_COREF_INJECT = _NER_INJECT + [
+    ("\\bfast\\b", "he"),
+    ("\\bbig\\b", "it"),
+    ("\\bsmall\\b", "they"),
+]
+
+
+def _q_kg_coref(spark, sf_dir):
+    """T6 coref clusters externally checked — the real fused pass +
+    the production native resolver (coref.clusters), flattened to one
+    row per cluster member."""
+    from docopenie_spark.operators import coref, fused
+    from docopenie_spark.plans.pipeline import default_dictionaries
+
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    for pat, rep in _COREF_INJECT:
+        c = F.regexp_replace(c, pat, rep)
+    t = derived_from_documents(docs.withColumn("text", c))
+    turns = assembly.with_turn_offsets(t)
+    firsts, gaz, lasts = default_dictionaries()
+    gaz |= {r[0] for r in datagen.gazetteer_rows()}
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    cl = coref.clusters(fused.split_entities(ann))
+    return cl.select(
+        "conv_id", "cluster_id",
+        F.col("best.text").alias("best_text"),
+        F.col("best.offset").alias("best_offset"),
+        F.explode("mentions").alias("m"),
+    ).select(
+        "conv_id", "cluster_id", "best_text", "best_offset",
+        F.col("m.text").alias("mention_text"),
+        F.col("m.offset").alias("mention_offset"),
+    )
+
+
+def _coref_oracle_sql() -> str:
+    return _spans_chain_sql(_COREF_INJECT) + """
+        , ents AS (
+          SELECT conv_id, name, off, entity_type,
+                 CASE
+                   WHEN entity_type = 'PERSON'
+                     THEN 'P:' || lower(string_split(name, ' ')[-1])
+                   WHEN entity_type = 'ORGANIZATION' AND nw = 1
+                     THEN 'O:' || lower(name)
+                   WHEN entity_type = 'ORGANIZATION'
+                     THEN 'O:' || lower(array_to_string(
+                            list_transform(string_split(name, ' '),
+                                           x -> x[1:1]), ''))
+                   ELSE entity_type[1:1] || ':' || lower(name)
+                 END AS key
+          FROM cls
+        ), prons AS (
+          SELECT conv_id, word AS text,
+                 cast(turn_offset + spos AS BIGINT) AS off
+          FROM pos WHERE word IN ('he', 'it', 'they')
+        ), comb AS (
+          SELECT conv_id, off, name AS text, key, entity_type, 0 AS is_pron
+          FROM ents
+          UNION ALL
+          SELECT conv_id, off, text, NULL, NULL, 1 FROM prons
+        ), resolved AS (
+          SELECT *,
+                 last_value(CASE WHEN entity_type = 'PERSON' THEN key END
+                            IGNORE NULLS) OVER w AS k_person,
+                 last_value(CASE WHEN entity_type IN
+                            ('ORGANIZATION', 'LOCATION', 'OTHER') THEN key END
+                            IGNORE NULLS) OVER w AS k_thing,
+                 last_value(CASE WHEN entity_type = 'ORGANIZATION' THEN key END
+                            IGNORE NULLS) OVER w AS k_org,
+                 last_value(key IGNORE NULLS) OVER w AS k_any
+          FROM comb
+          WINDOW w AS (PARTITION BY conv_id ORDER BY off
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), assigned AS (
+          SELECT conv_id, key, text, off FROM resolved WHERE is_pron = 0
+          UNION ALL
+          SELECT conv_id,
+                 CASE
+                   WHEN lower(text) IN ('he','him','his','she','her','hers')
+                     THEN k_person
+                   WHEN lower(text) IN ('it','its') THEN k_thing
+                   WHEN lower(text) IN ('they','them','their')
+                     THEN coalesce(k_org, k_any)
+                   ELSE k_person
+                 END AS key,
+                 text, off
+          FROM resolved WHERE is_pron = 1
+        ), members AS (
+          SELECT * FROM assigned WHERE key IS NOT NULL
+        ), surv AS (
+          SELECT conv_id, key FROM members
+          GROUP BY conv_id, key HAVING count(*) >= 2
+        ), first_ent AS (
+          SELECT conv_id, key, min(off) AS first_off
+          FROM ents GROUP BY conv_id, key
+        ), ids AS (
+          SELECT s.conv_id, s.key,
+                 cast(row_number() OVER (PARTITION BY s.conv_id
+                      ORDER BY f.first_off) - 1 AS INT) AS cluster_id
+          FROM surv s JOIN first_ent f
+            ON f.conv_id = s.conv_id AND f.key = s.key
+        ), best AS (
+          SELECT conv_id, key, text AS best_text, off AS best_offset
+          FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, key
+                    ORDER BY length(text) DESC, off ASC) AS rn
+                FROM members)
+          WHERE rn = 1
+        )
+        SELECT m.conv_id, i.cluster_id, b.best_text, b.best_offset,
+               m.text AS mention_text, m.off AS mention_offset
+        FROM members m
+        JOIN ids i ON i.conv_id = m.conv_id AND i.key = m.key
+        JOIN best b ON b.conv_id = m.conv_id AND b.key = m.key
+    """
 
 
 # T4 verbal extraction with a REAL oracle (VERDICT r4 #3, second spine
@@ -648,6 +792,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_segmentation": _q_kg_segmentation,
         "kg_ner_spans": _q_kg_ner_spans,
         "kg_extraction": _q_kg_extraction,
+        "kg_coref": _q_kg_coref,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_entities": _q_kg_entities,
@@ -919,6 +1064,8 @@ def oracle_sql() -> dict[str, str]:
         # T4 verbal extraction, externally checked — see _q_kg_extraction
         # for the single-verb-vocabulary reduction argument
         "kg_extraction": _EXTRACTION_ORACLE_SQL,
+        # T6 coref, externally checked — see _q_kg_coref's comment block
+        "kg_coref": _coref_oracle_sql(),
         # remaining kg_* stages are deterministic NLP transforms over the
         # seeded transcript generator — not SQL-expressible; rows-only.
     }

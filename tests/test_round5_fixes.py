@@ -181,6 +181,33 @@ def test_ner_oracle_covers_every_classify_branch():
     assert merged > 0, "adjacency-merged spans must be exercised"
 
 
+# ----------------------------- kg_coref oracle non-vacuity (DuckDB only)
+
+def test_coref_oracle_nonvacuous():
+    """The T6 external check must actually exercise pronoun resolution
+    (all three injected pronoun categories appear as cluster members)
+    and multi-mention clustering, even at the smallest sf."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    sql = e.oracle_sql()["kg_coref"]
+    prons = dict(con.execute(
+        f"SELECT mention_text, count(*) FROM ({sql}) "
+        "WHERE mention_text IN ('he', 'it', 'they') GROUP BY 1"
+    ).fetchall())
+    assert set(prons) == {"he", "it", "they"}, prons
+    n_clusters = con.execute(
+        f"SELECT count(DISTINCT (conv_id, cluster_id)) FROM ({sql})"
+    ).fetchone()[0]
+    assert n_clusters > 20
+
+
 # ---------------------- kg_extraction oracle reduction holds (no Spark)
 
 def test_extraction_oracle_vocabulary_reduction():
