@@ -610,9 +610,18 @@ def _q_kg_extraction(spark, sf_dir):
     )
 
 
-_EXTRACTION_ORACLE_SQL = """
-    WITH w AS (
-      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+def _extraction_chain_sql(inject_pats) -> str:
+    """CTE chain for the T4 oracle (and the linking oracle built on it):
+    injected corpus → turns → P1 filter → word positions → verb/NP runs
+    (``vb``/``np``) → ``triples`` (flattened with doc offsets)."""
+    inject = "text"
+    for pat, rep in inject_pats:
+        inject = f"regexp_replace({inject}, '{pat}', '{rep}', 'g')"
+    return f"""
+    WITH src AS (
+      SELECT doc_id, {inject} AS text FROM documents
+    ), w AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM src
     ), t AS (
       SELECT doc_id, words,
              unnest(generate_series(0, cast(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS j
@@ -662,19 +671,124 @@ _EXTRACTION_ORACLE_SQL = """
              count(*) AS nw
       FROM runs GROUP BY conv_id, turn_idx, is_vb, grp
     ), vb AS (SELECT * FROM segs WHERE is_vb),
-    np AS (SELECT * FROM segs WHERE NOT is_vb)
-    SELECT v.conv_id, v.turn_idx, cast(0 AS INT) AS sent_num,
-           a1.txt AS arg1, cast(v.turn_offset + a1.s0 AS BIGINT) AS arg1_offset,
-           v.txt AS rel, cast(v.turn_offset + v.s0 AS BIGINT) AS rel_offset,
-           a2.txt AS arg2, cast(v.turn_offset + a2.s0 AS BIGINT) AS arg2_offset,
-           round(0.90 - 0.005 * (v.nw - 1), 4) AS confidence,
-           'verb' AS extractor
-    FROM vb v
-    JOIN np a1 ON a1.conv_id = v.conv_id AND a1.turn_idx = v.turn_idx
-              AND a1.k1 = v.k0 - 1
-    JOIN np a2 ON a2.conv_id = v.conv_id AND a2.turn_idx = v.turn_idx
-              AND a2.k0 = v.k1 + 1
-"""
+    np AS (SELECT * FROM segs WHERE NOT is_vb),
+    triples AS (
+      SELECT v.conv_id, v.turn_idx, cast(0 AS INT) AS sent_num,
+             a1.txt AS arg1, cast(v.turn_offset + a1.s0 AS BIGINT) AS arg1_offset,
+             v.txt AS rel, cast(v.turn_offset + v.s0 AS BIGINT) AS rel_offset,
+             a2.txt AS arg2, cast(v.turn_offset + a2.s0 AS BIGINT) AS arg2_offset,
+             round(0.90 - 0.005 * (v.nw - 1), 4) AS confidence,
+             'verb' AS extractor
+      FROM vb v
+      JOIN np a1 ON a1.conv_id = v.conv_id AND a1.turn_idx = v.turn_idx
+                AND a1.k1 = v.k0 - 1
+      JOIN np a2 ON a2.conv_id = v.conv_id AND a2.turn_idx = v.turn_idx
+                AND a2.k0 = v.k1 + 1
+    )"""
+
+
+def _extraction_oracle_sql() -> str:
+    return _extraction_chain_sql([]) + """
+    SELECT * FROM triples
+    """
+
+
+# T9/T10 entity linking with a REAL oracle (fourth spine stage this
+# round): the extraction corpus plus entity-name injections that KEEP
+# "join" as the verb, so triple arguments are NP runs that sometimes
+# equal a dictionary name/alias exactly (modulo the P7 one-lead/one-
+# trail strip — only "a"/"the" exist as strippable words here, but the
+# oracle embeds the production regexes byte-for-byte). The one
+# ambiguous dictionary key ("meridian", the designed doc_sim fixture)
+# is deliberately NOT injected, so links' ambiguity semi-join is
+# provably empty and doc_sim is 0 for every arg — scoring reduces to
+# cand_score (6.0 name / 5.5 alias) + 0.4*log10(1+inlinks), threshold
+# 5.0, argmax by (score desc, id asc). The production path (clusters +
+# sentences wired, context machinery live) still executes; the doc_sim
+# ranking itself is covered by tests/test_link_substitute.py.
+_LINK_INJECT = [
+    ("\\bscan\\b", "Alice Navarro"),   # dict NAME match (cand 6.0)
+    ("\\bsort\\b", "Springfield"),     # city name
+    ("\\bbatch\\b", "GDC"),            # org ALIAS match (cand 5.5)
+    ("\\bkey\\b", "Okafor"),           # person last-name alias
+    ("\\bagg\\b", "Massachusetts"),    # state name
+    ("\\bline\\b", "Portland"),        # second city
+]
+
+
+def _q_kg_linking(spark, sf_dir):
+    """T9/T10 linking externally checked — the production links()
+    (candidate explode, P7 cleaning, broadcast join, scoring, argmax)
+    over injected derived transcripts with the full clusters+sentences
+    context machinery wired."""
+    from docopenie_spark.operators import coref, fused, link
+    from docopenie_spark.plans.pipeline import default_dictionaries
+
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    for pat, rep in _LINK_INJECT:
+        c = F.regexp_replace(c, pat, rep)
+    t = derived_from_documents(docs.withColumn("text", c))
+    turns = assembly.with_turn_offsets(t)
+    firsts, gaz, lasts = default_dictionaries()
+    gaz |= {r[0] for r in datagen.gazetteer_rows()}
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    lk = link.links(
+        fused.split_triples(ann),
+        datagen.entity_dict_df(spark),
+        clusters=coref.clusters(fused.split_entities(ann)),
+        sentences=fused.split_sentences(ann, turns),
+    )
+    return lk.select(
+        "conv_id", "text", "offset", "clean_text", "clean_offset",
+        "name", "id", F.round("score", 6).alias("score"),
+    )
+
+
+def _linking_oracle_sql() -> str:
+    from docopenie_spark.operators.link import _LEAD_PAT, _TRAIL_PAT
+
+    cand_rows = []
+    for (eid, nm, aliases, _types, inlinks, _ctx) in datagen.entity_dict_rows():
+        cand_rows.append(f"('{nm.lower()}', 'name', '{eid}', '{nm}', {inlinks})")
+        for a in aliases:
+            cand_rows.append(f"('{a.lower()}', 'alias', '{eid}', '{nm}', {inlinks})")
+    values = ",\n             ".join(cand_rows)
+    return _extraction_chain_sql(_LINK_INJECT) + f"""
+    , args AS (
+      SELECT DISTINCT conv_id, arg1 AS text, arg1_offset AS "offset" FROM triples
+      UNION
+      SELECT DISTINCT conv_id, arg2 AS text, arg2_offset AS "offset" FROM triples
+    ), cleaned AS (
+      -- P7: the production lead/trail strip regexes, embedded verbatim
+      SELECT conv_id, text, "offset",
+             regexp_replace(regexp_replace(text, '{_LEAD_PAT}', ''),
+                            '{_TRAIL_PAT}', '') AS clean_text,
+             "offset" + length(text)
+                      - length(regexp_replace(text, '{_LEAD_PAT}', ''))
+                 AS clean_offset
+      FROM args
+    ), kept_args AS (
+      SELECT * FROM cleaned WHERE length(clean_text) > 0
+    ), cand(key, src, id, name, inlinks) AS (
+      VALUES {values}
+    ), scored AS (
+      SELECT a.conv_id, a.text, a."offset", a.clean_text, a.clean_offset,
+             c.name, c.id,
+             (CASE WHEN c.src = 'name' THEN 6.0 ELSE 5.5 END
+              + 0.4 * log10(1.0 + c.inlinks)) AS score
+      FROM kept_args a JOIN cand c ON lower(a.clean_text) = c.key
+      WHERE (CASE WHEN c.src = 'name' THEN 6.0 ELSE 5.5 END
+             + 0.4 * log10(1.0 + c.inlinks)) >= 5.0
+    )
+    SELECT conv_id, text, "offset", clean_text, clean_offset, name, id,
+           round(score, 6) AS score
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY conv_id, "offset", text
+              ORDER BY score DESC, id ASC) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """
 
 
 # -------- KG pipeline stages (non-SQL-expressible → rows-only checks)
@@ -793,6 +907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ner_spans": _q_kg_ner_spans,
         "kg_extraction": _q_kg_extraction,
         "kg_coref": _q_kg_coref,
+        "kg_linking": _q_kg_linking,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_entities": _q_kg_entities,
@@ -1063,9 +1178,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_ner_spans": _ner_oracle_sql(),
         # T4 verbal extraction, externally checked — see _q_kg_extraction
         # for the single-verb-vocabulary reduction argument
-        "kg_extraction": _EXTRACTION_ORACLE_SQL,
+        "kg_extraction": _extraction_oracle_sql(),
         # T6 coref, externally checked — see _q_kg_coref's comment block
         "kg_coref": _coref_oracle_sql(),
+        # T9/T10 linking, externally checked — see _q_kg_linking
+        "kg_linking": _linking_oracle_sql(),
         # remaining kg_* stages are deterministic NLP transforms over the
         # seeded transcript generator — not SQL-expressible; rows-only.
     }

@@ -208,6 +208,50 @@ def test_coref_oracle_nonvacuous():
     assert n_clusters > 20
 
 
+# -------------------------- kg_linking oracle preconditions + coverage
+
+def test_linking_oracle_preconditions_and_nonvacuity():
+    """The T9/T10 oracle's closed form rests on two preconditions it
+    must fail loudly on if datagen drifts: (a) 'meridian' is the ONLY
+    ambiguous dictionary key (so doc_sim is provably 0 — the ambiguity
+    semi-join selects nothing on this corpus), and (b) the oracle links
+    both name-keyed (6.0) and alias-keyed (5.5) candidates and exercises
+    the P7 strip."""
+    import duckdb
+    from collections import Counter
+
+    import __spark_entry__ as e
+
+    keys = Counter()
+    for (_i, nm, aliases, _t, _inl, _c) in datagen.entity_dict_rows():
+        keys[nm.lower()] += 1
+        for a in aliases:
+            keys[a.lower()] += 1
+    assert {k for k, c in keys.items() if c > 1} == {"meridian"}
+    assert not any(rep.lower() == "meridian"
+                   for _p, rep in e._LINK_INJECT)
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    sql = e.oracle_sql()["kg_linking"]
+    n, n_ids, n_cleaned = con.execute(
+        f"SELECT count(*), count(DISTINCT id), "
+        f"sum(CASE WHEN text != clean_text THEN 1 ELSE 0 END) FROM ({sql})"
+    ).fetchone()
+    assert n > 20 and n_ids >= 5
+    assert n_cleaned > 0, "P7 lead/trail strip must be exercised"
+    # name- vs alias-keyed candidates both present: with inlinks <= 5000
+    # the alias ceiling is 5.5 + 0.4*log10(5001) < 6.98 and every name
+    # match scores >= 6.0, so the observed spread must straddle 6.75
+    # (alias-only or name-only corpora would sit on one side)
+    lo, hi = con.execute(
+        f"SELECT min(score), max(score) FROM ({sql})").fetchone()
+    assert lo < 6.75 < hi, (lo, hi)
+
+
 # ---------------------- kg_extraction oracle reduction holds (no Spark)
 
 def test_extraction_oracle_vocabulary_reduction():
