@@ -745,7 +745,9 @@ def _q_kg_linking(spark, sf_dir):
     )
 
 
-def _linking_oracle_sql() -> str:
+def _linking_chain_sql() -> str:
+    """Extraction chain + linking CTEs ending in ``links`` (the argmax
+    winners) — shared by the linking and substitution oracles."""
     from docopenie_spark.operators.link import _LEAD_PAT, _TRAIL_PAT
 
     cand_rows = []
@@ -770,24 +772,106 @@ def _linking_oracle_sql() -> str:
       FROM args
     ), kept_args AS (
       SELECT * FROM cleaned WHERE length(clean_text) > 0
-    ), cand(key, src, id, name, inlinks) AS (
+    ), cand(key, src_kind, id, name, inlinks) AS (
       VALUES {values}
-    ), scored AS (
+    ), lscored AS (
       SELECT a.conv_id, a.text, a."offset", a.clean_text, a.clean_offset,
              c.name, c.id,
-             (CASE WHEN c.src = 'name' THEN 6.0 ELSE 5.5 END
+             (CASE WHEN c.src_kind = 'name' THEN 6.0 ELSE 5.5 END
               + 0.4 * log10(1.0 + c.inlinks)) AS score
       FROM kept_args a JOIN cand c ON lower(a.clean_text) = c.key
-      WHERE (CASE WHEN c.src = 'name' THEN 6.0 ELSE 5.5 END
+      WHERE (CASE WHEN c.src_kind = 'name' THEN 6.0 ELSE 5.5 END
              + 0.4 * log10(1.0 + c.inlinks)) >= 5.0
+    ), links AS (
+      SELECT conv_id, text, "offset", clean_text, clean_offset, name, id,
+             round(score, 6) AS score
+      FROM (SELECT *, row_number() OVER (
+                PARTITION BY conv_id, "offset", text
+                ORDER BY score DESC, id ASC) AS rn
+            FROM lscored)
+      WHERE rn = 1
+    )"""
+
+
+def _linking_oracle_sql() -> str:
+    return _linking_chain_sql() + """
+    SELECT conv_id, text, "offset", clean_text, clean_offset, name, id, score
+    FROM links
+    """
+
+
+# T13 display substitution with a REAL oracle (fifth spine stage this
+# round): the production substituted_triples (bucketed containment join
+# + greedy non-overlap fold splice) fed a DETERMINISTIC best-mention set
+# derived from the linking output (display = linked dictionary name,
+# filtered to non-identity exactly like display_filter's
+# best != target.text clause). This checks T13's machinery — the
+# interval join, the per-arg substitution assembly, the fold splice,
+# and the left-join/coalesce of unsubstituted args — not the T11 rule
+# engine (which stays per-branch pytest-covered). Reduction: NP runs
+# within a turn are disjoint and offsets across turns are disjoint, so
+# a link target can only be contained in an argument occupying the SAME
+# span (or its determiner-stripped superset) — at most ONE substitution
+# per argument (pinned by a test), collapsing the greedy fold to a
+# single closed-form splice in SQL.
+def _q_kg_substitution(spark, sf_dir):
+    """T13 substitution externally checked — production fold over
+    link-derived best mentions on the linking corpus."""
+    from docopenie_spark.operators import coref, fused, link, substitute
+    from docopenie_spark.plans.pipeline import default_dictionaries
+
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    for pat, rep in _LINK_INJECT:
+        c = F.regexp_replace(c, pat, rep)
+    t = derived_from_documents(docs.withColumn("text", c))
+    turns = assembly.with_turn_offsets(t)
+    firsts, gaz, lasts = default_dictionaries()
+    gaz |= {r[0] for r in datagen.gazetteer_rows()}
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    tr = fused.split_triples(ann)
+    lk = link.links(
+        tr, datagen.entity_dict_df(spark),
+        clusters=coref.clusters(fused.split_entities(ann)),
+        sentences=fused.split_sentences(ann, turns),
     )
-    SELECT conv_id, text, "offset", clean_text, clean_offset, name, id,
-           round(score, 6) AS score
-    FROM (SELECT *, row_number() OVER (
-              PARTITION BY conv_id, "offset", text
-              ORDER BY score DESC, id ASC) AS rn
-          FROM scored)
-    WHERE rn = 1
+    bems = lk.where(F.col("name") != F.col("clean_text")).select(
+        "conv_id",
+        F.struct(
+            F.col("clean_text").alias("text"),
+            F.col("clean_offset").alias("offset"),
+        ).alias("target"),
+        F.col("name").alias("best_mention"),
+    )
+    return substitute.substituted_triples(tr, bems)
+
+
+def _substitution_oracle_sql() -> str:
+    return _linking_chain_sql() + """
+    , bems AS (
+      SELECT DISTINCT conv_id, clean_offset AS m_off,
+             length(clean_text) AS m_len, name AS best
+      FROM links WHERE name != clean_text
+    )
+    SELECT t.conv_id, t.turn_idx, t.sent_num,
+           CASE WHEN b1.best IS NOT NULL THEN
+             t.arg1[1 : b1.m_off - t.arg1_offset] || b1.best
+               || t.arg1[b1.m_off - t.arg1_offset + b1.m_len + 1 :]
+           ELSE t.arg1 END AS subj,
+           t.rel AS pred,
+           CASE WHEN b2.best IS NOT NULL THEN
+             t.arg2[1 : b2.m_off - t.arg2_offset] || b2.best
+               || t.arg2[b2.m_off - t.arg2_offset + b2.m_len + 1 :]
+           ELSE t.arg2 END AS obj,
+           t.arg1 AS subj_raw, t.arg2 AS obj_raw,
+           t.confidence, t.extractor
+    FROM triples t
+    LEFT JOIN bems b1 ON b1.conv_id = t.conv_id
+        AND b1.m_off >= t.arg1_offset
+        AND b1.m_off + b1.m_len <= t.arg1_offset + length(t.arg1)
+    LEFT JOIN bems b2 ON b2.conv_id = t.conv_id
+        AND b2.m_off >= t.arg2_offset
+        AND b2.m_off + b2.m_len <= t.arg2_offset + length(t.arg2)
     """
 
 
@@ -908,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_extraction": _q_kg_extraction,
         "kg_coref": _q_kg_coref,
         "kg_linking": _q_kg_linking,
+        "kg_substitution": _q_kg_substitution,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_entities": _q_kg_entities,
@@ -1183,6 +1268,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_coref": _coref_oracle_sql(),
         # T9/T10 linking, externally checked — see _q_kg_linking
         "kg_linking": _linking_oracle_sql(),
+        # T13 substitution, externally checked — see _q_kg_substitution
+        "kg_substitution": _substitution_oracle_sql(),
         # remaining kg_* stages are deterministic NLP transforms over the
         # seeded transcript generator — not SQL-expressible; rows-only.
     }

@@ -252,6 +252,50 @@ def test_linking_oracle_preconditions_and_nonvacuity():
     assert lo < 6.75 < hi, (lo, hi)
 
 
+# ----------------- kg_substitution oracle geometry + non-vacuity
+
+def test_substitution_oracle_geometry_and_nonvacuity():
+    """The T13 oracle's closed-form splice rests on: at most ONE bems
+    target is contained in any argument span (NP runs disjoint within a
+    turn, offsets disjoint across turns), so the greedy fold degenerates
+    to a single splice. Verify on the actual corpus, and that real
+    substitutions occur."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    chain = e._linking_chain_sql()
+    max_n = con.execute(chain + """
+        , bems AS (SELECT DISTINCT conv_id, clean_offset AS m_off,
+                   length(clean_text) AS m_len, name AS best
+                   FROM links WHERE name != clean_text),
+        hits AS (
+          SELECT t.conv_id, t.arg1_offset AS aoff, count(*) AS n
+          FROM triples t JOIN bems b ON b.conv_id = t.conv_id
+            AND b.m_off >= t.arg1_offset
+            AND b.m_off + b.m_len <= t.arg1_offset + length(t.arg1)
+          GROUP BY 1, 2
+          UNION ALL
+          SELECT t.conv_id, t.arg2_offset, count(*)
+          FROM triples t JOIN bems b ON b.conv_id = t.conv_id
+            AND b.m_off >= t.arg2_offset
+            AND b.m_off + b.m_len <= t.arg2_offset + length(t.arg2)
+          GROUP BY 1, 2)
+        SELECT coalesce(max(n), 0) FROM hits""").fetchone()[0]
+    assert max_n <= 1, "closed-form splice needs <=1 contained mention/arg"
+
+    sql = e.oracle_sql()["kg_substitution"]
+    n_sub = con.execute(
+        f"SELECT count(*) FROM ({sql}) "
+        "WHERE subj != subj_raw OR obj != obj_raw").fetchone()[0]
+    assert n_sub > 0, "substitutions must actually occur"
+
+
 # ---------------------- kg_extraction oracle reduction holds (no Spark)
 
 def test_extraction_oracle_vocabulary_reduction():
