@@ -332,16 +332,9 @@ def _sql_strset(names) -> str:
     return ", ".join("'" + n + "'" for n in sorted(names))
 
 
-def _spans_chain_sql(inject_pats) -> str:
-    """Shared CTE chain for the spine oracles: injected corpus → 10-word
-    turns → offsets → P1 filter → per-word positions → capitalized-run
-    spans → classified entities (``cls``: conv_id, off, name, entity_type).
-    Dictionary literals are generated from the same datagen constants the
-    Spark side broadcasts."""
-    from docopenie_spark.plans.pipeline import default_dictionaries
-
-    firsts, gaz, lasts = default_dictionaries()
-    gaz = gaz | {r[0] for r in datagen.gazetteer_rows()}
+def _corpus_prefix_sql(inject_pats) -> str:
+    """Common CTE prefix for every spine oracle: injected corpus →
+    10-word turns → offsets → P1 filter → per-word positions (``pos``)."""
     inject = "text"
     for pat, rep in inject_pats:
         inject = f"regexp_replace({inject}, '{pat}', '{rep}', 'g')"
@@ -381,7 +374,17 @@ def _spans_chain_sql(inject_pats) -> str:
                      PARTITION BY conv_id, turn_idx ORDER BY k
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS spos
           FROM tw
-        ), caps AS (
+        )"""
+
+
+def _ner_branch_sql() -> str:
+    """Capitalized-run spans → classified entities (``cls``)."""
+    from docopenie_spark.plans.pipeline import default_dictionaries
+
+    firsts, gaz, lasts = default_dictionaries()
+    gaz = gaz | {r[0] for r in datagen.gazetteer_rows()}
+    return f"""
+        , caps AS (
           -- NNP ⇔ starts-uppercase on this corpus; adjacent-run merge
           -- (T8) via the k-minus-rank grouping trick
           SELECT *, k - row_number() OVER (
@@ -412,6 +415,11 @@ def _spans_chain_sql(inject_pats) -> str:
                  END AS entity_type
           FROM spans
         )"""
+
+
+def _spans_chain_sql(inject_pats) -> str:
+    """Prefix + NER branch (kept for the NER/coref oracles)."""
+    return _corpus_prefix_sql(inject_pats) + _ner_branch_sql()
 
 
 def _ner_oracle_sql() -> str:
@@ -492,8 +500,11 @@ def _q_kg_coref(spark, sf_dir):
     )
 
 
-def _coref_oracle_sql() -> str:
-    return _spans_chain_sql(_COREF_INJECT) + """
+def _coref_branch_sql() -> str:
+    """Cluster assembly on top of ``cls`` + ``pos``: keys, pronoun
+    resolution (IGNORE NULLS running window), survival filter, ids,
+    representative pick. Ends with ``members``/``ids``/``best``."""
+    return """
         , ents AS (
           SELECT conv_id, name, off, entity_type,
                  CASE
@@ -564,7 +575,11 @@ def _coref_oracle_sql() -> str:
                     ORDER BY length(text) DESC, off ASC) AS rn
                 FROM members)
           WHERE rn = 1
-        )
+        )"""
+
+
+def _coref_oracle_sql() -> str:
+    return _spans_chain_sql(_COREF_INJECT) + _coref_branch_sql() + """
         SELECT m.conv_id, i.cluster_id, b.best_text, b.best_offset,
                m.text AS mention_text, m.off AS mention_offset
         FROM members m
@@ -610,49 +625,17 @@ def _q_kg_extraction(spark, sf_dir):
     )
 
 
-def _extraction_chain_sql(inject_pats) -> str:
-    """CTE chain for the T4 oracle (and the linking oracle built on it):
-    injected corpus → turns → P1 filter → word positions → verb/NP runs
-    (``vb``/``np``) → ``triples`` (flattened with doc offsets)."""
-    inject = "text"
-    for pat, rep in inject_pats:
-        inject = f"regexp_replace({inject}, '{pat}', '{rep}', 'g')"
+def _extract_branch_sql() -> str:
+    """Verb/NP runs (``vb``/``np``) → ``triples`` (flattened, doc
+    offsets). Confidence mirrors extract._confidence for this corpus:
+    0.90 - 0.005*(rel_len-1), minus the 0.10 pronoun-subject penalty
+    when arg1 is a single PRP-tagged token (fires only on corpora with
+    injected pronouns; a no-op on the others)."""
+    prp = _sql_strset(
+        sorted(tok.PRONOUNS_SUBJ | tok.PRONOUNS_OBJ)
+    )
     return f"""
-    WITH src AS (
-      SELECT doc_id, {inject} AS text FROM documents
-    ), w AS (
-      SELECT doc_id, string_split(text, ' ') AS words FROM src
-    ), t AS (
-      SELECT doc_id, words,
-             unnest(generate_series(0, cast(ceil(len(words) / 10.0) AS BIGINT) - 1)) AS j
-      FROM w
-    ), turns AS (
-      SELECT cast(doc_id AS VARCHAR) AS conv_id,
-             cast(j AS INT) AS turn_idx,
-             array_to_string(words[(j*10+1):(j*10+10)], ' ') AS text
-      FROM t
-    ), turns_o AS (
-      SELECT conv_id, turn_idx, text,
-             coalesce(sum(length(text) + 1) OVER (
-                 PARTITION BY conv_id ORDER BY turn_idx
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS turn_offset
-      FROM turns
-    ), kept AS (
-      SELECT * FROM turns_o
-      WHERE length(text) <= 750
-        AND len(string_split_regex(trim(text), '\\s+')) >= 4
-    ), tw AS (
-      SELECT conv_id, turn_idx, turn_offset,
-             unnest(string_split(text, ' ')) AS word,
-             generate_subscripts(string_split(text, ' '), 1) AS k
-      FROM kept
-    ), pos AS (
-      SELECT conv_id, turn_idx, turn_offset, word, k,
-             coalesce(sum(length(word) + 1) OVER (
-                 PARTITION BY conv_id, turn_idx ORDER BY k
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS spos
-      FROM tw
-    ), tagged AS (
+    , tagged AS (
       -- verb ⇔ "join" not preceded by a determiner (turn-initial counts
       -- as unpreceded); everything else is NP material
       SELECT *, (word = 'join' AND coalesce(lag(word) OVER (
@@ -677,7 +660,9 @@ def _extraction_chain_sql(inject_pats) -> str:
              a1.txt AS arg1, cast(v.turn_offset + a1.s0 AS BIGINT) AS arg1_offset,
              v.txt AS rel, cast(v.turn_offset + v.s0 AS BIGINT) AS rel_offset,
              a2.txt AS arg2, cast(v.turn_offset + a2.s0 AS BIGINT) AS arg2_offset,
-             round(0.90 - 0.005 * (v.nw - 1), 4) AS confidence,
+             round(0.90 - 0.005 * (v.nw - 1)
+                   - CASE WHEN a1.nw = 1 AND lower(a1.txt) IN ({prp})
+                          THEN 0.10 ELSE 0.0 END, 4) AS confidence,
              'verb' AS extractor
       FROM vb v
       JOIN np a1 ON a1.conv_id = v.conv_id AND a1.turn_idx = v.turn_idx
@@ -685,6 +670,12 @@ def _extraction_chain_sql(inject_pats) -> str:
       JOIN np a2 ON a2.conv_id = v.conv_id AND a2.turn_idx = v.turn_idx
                 AND a2.k0 = v.k1 + 1
     )"""
+
+
+def _extraction_chain_sql(inject_pats) -> str:
+    """Prefix + extraction branch (kept for the extraction/linking/
+    substitution oracles)."""
+    return _corpus_prefix_sql(inject_pats) + _extract_branch_sql()
 
 
 def _extraction_oracle_sql() -> str:
@@ -745,18 +736,19 @@ def _q_kg_linking(spark, sf_dir):
     )
 
 
-def _linking_chain_sql() -> str:
-    """Extraction chain + linking CTEs ending in ``links`` (the argmax
-    winners) — shared by the linking and substitution oracles."""
+def _linking_branch_sql() -> str:
+    """Linking CTEs on top of ``triples``, ending in ``links`` (argmax
+    winners, incl. an is_person flag for the T12 gate)."""
     from docopenie_spark.operators.link import _LEAD_PAT, _TRAIL_PAT
 
     cand_rows = []
-    for (eid, nm, aliases, _types, inlinks, _ctx) in datagen.entity_dict_rows():
-        cand_rows.append(f"('{nm.lower()}', 'name', '{eid}', '{nm}', {inlinks})")
+    for (eid, nm, aliases, types, inlinks, _ctx) in datagen.entity_dict_rows():
+        isp = "true" if "person" in types else "false"
+        cand_rows.append(f"('{nm.lower()}', 'name', '{eid}', '{nm}', {inlinks}, {isp})")
         for a in aliases:
-            cand_rows.append(f"('{a.lower()}', 'alias', '{eid}', '{nm}', {inlinks})")
+            cand_rows.append(f"('{a.lower()}', 'alias', '{eid}', '{nm}', {inlinks}, {isp})")
     values = ",\n             ".join(cand_rows)
-    return _extraction_chain_sql(_LINK_INJECT) + f"""
+    return f"""
     , args AS (
       SELECT DISTINCT conv_id, arg1 AS text, arg1_offset AS "offset" FROM triples
       UNION
@@ -772,11 +764,11 @@ def _linking_chain_sql() -> str:
       FROM args
     ), kept_args AS (
       SELECT * FROM cleaned WHERE length(clean_text) > 0
-    ), cand(key, src_kind, id, name, inlinks) AS (
+    ), cand(key, src_kind, id, name, inlinks, is_person) AS (
       VALUES {values}
     ), lscored AS (
       SELECT a.conv_id, a.text, a."offset", a.clean_text, a.clean_offset,
-             c.name, c.id,
+             c.name, c.id, c.is_person,
              (CASE WHEN c.src_kind = 'name' THEN 6.0 ELSE 5.5 END
               + 0.4 * log10(1.0 + c.inlinks)) AS score
       FROM kept_args a JOIN cand c ON lower(a.clean_text) = c.key
@@ -784,13 +776,19 @@ def _linking_chain_sql() -> str:
              + 0.4 * log10(1.0 + c.inlinks)) >= 5.0
     ), links AS (
       SELECT conv_id, text, "offset", clean_text, clean_offset, name, id,
-             round(score, 6) AS score
+             is_person, round(score, 6) AS score
       FROM (SELECT *, row_number() OVER (
                 PARTITION BY conv_id, "offset", text
                 ORDER BY score DESC, id ASC) AS rn
             FROM lscored)
       WHERE rn = 1
     )"""
+
+
+def _linking_chain_sql() -> str:
+    """Extraction chain + linking branch (kept for the linking and
+    substitution oracles)."""
+    return _extraction_chain_sql(_LINK_INJECT) + _linking_branch_sql()
 
 
 def _linking_oracle_sql() -> str:
@@ -873,6 +871,103 @@ def _substitution_oracle_sql() -> str:
         AND b2.m_off >= t.arg2_offset
         AND b2.m_off + b2.m_len <= t.arg2_offset + length(t.arg2)
     """
+
+
+# T12 coref expansion with a REAL oracle (sixth spine stage this round):
+# the linking corpus plus the three pronouns. expand_with_coref is fed
+# an EMPTY best-mention table (the T11 engine's output is orthogonal to
+# the T12 propagation machinery — bems-based propagation stays pytest-
+# covered) and the production clusters + links, so every cluster decides
+# by link uniqueness: exactly one distinct linked id over the cluster's
+# mention offsets → propagate the linked name to the cluster's pronoun
+# mentions through the XOR gate (PERSONAL_PRONOUNS × entity-type).
+# Reduction notes: the mention↔link join key (clean_offset == mention
+# offset) is closed-form; he is personal / it,they are not, so both gate
+# polarities fire; he/it/they are non-possessive, so _possessive_fix is
+# the identity. The extraction closed form gains the 0.10 pronoun-
+# subject confidence penalty on this corpus (single-PRP arg1), already
+# encoded generically in _extract_branch_sql.
+_EXPAND_INJECT = _LINK_INJECT + [
+    ("\\bfast\\b", "he"),
+    ("\\bbig\\b", "it"),
+    ("\\bsmall\\b", "they"),
+]
+
+
+def _q_kg_coref_expansion(spark, sf_dir):
+    """T12 coref expansion externally checked — production
+    expand_with_coref over production clusters + links, link-decided."""
+    from docopenie_spark import schemas
+    from docopenie_spark.operators import bestmention, coref, fused, link
+    from docopenie_spark.plans.pipeline import default_dictionaries
+
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    for pat, rep in _EXPAND_INJECT:
+        c = F.regexp_replace(c, pat, rep)
+    t = derived_from_documents(docs.withColumn("text", c))
+    turns = assembly.with_turn_offsets(t)
+    firsts, gaz, lasts = default_dictionaries()
+    gaz |= {r[0] for r in datagen.gazetteer_rows()}
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    cl = coref.clusters(fused.split_entities(ann))
+    lk = link.links(
+        fused.split_triples(ann), datagen.entity_dict_df(spark),
+        clusters=cl, sentences=fused.split_sentences(ann, turns),
+    )
+    empty_bems = spark.createDataFrame([], schemas.BEST_MENTIONS)
+    out = bestmention.expand_with_coref(empty_bems, cl, lk)
+    return out.select(
+        "conv_id", "kind",
+        F.col("target.text").alias("target_text"),
+        F.col("target.offset").alias("target_offset"),
+        F.col("target.name").alias("target_name"),
+        F.col("target.entity_type").alias("target_type"),
+        "best_mention", "candidate_count", "cluster_id",
+    )
+
+
+def _expansion_oracle_sql() -> str:
+    from docopenie_spark.operators.bestmention import PERSONAL_PRONOUNS
+
+    personal = _sql_strset(PERSONAL_PRONOUNS)
+    return (
+        _corpus_prefix_sql(_EXPAND_INJECT)
+        + _ner_branch_sql()
+        + _coref_branch_sql()
+        + _extract_branch_sql()
+        + _linking_branch_sql()
+        + f"""
+    , xmem AS (
+      SELECT m.conv_id, i.cluster_id, m.text AS m_text, m.off AS m_offset
+      FROM members m JOIN ids i ON i.conv_id = m.conv_id AND i.key = m.key
+    ), lpick AS (
+      -- exactly one distinct linked id over the cluster's mentions
+      SELECT x.conv_id, x.cluster_id,
+             min(l.name) AS l_name, bool_or(l.is_person) AS is_person
+      FROM xmem x JOIN links l
+        ON l.conv_id = x.conv_id AND l.clean_offset = x.m_offset
+      GROUP BY x.conv_id, x.cluster_id
+      HAVING count(DISTINCT l.id) = 1
+    ), xpron AS (
+      SELECT conv_id, cluster_id, m_text, m_offset FROM xmem
+      WHERE lower(m_text) IN ('he', 'it', 'they')
+    )
+    SELECT p.conv_id,
+           'coref_link' AS kind,
+           p.m_text AS target_text,
+           p.m_offset AS target_offset,
+           p.m_text AS target_name,
+           CASE WHEN l.is_person THEN 'PERSON' ELSE 'OTHER' END AS target_type,
+           l.l_name AS best_mention,
+           cast(1.0 AS DOUBLE) AS candidate_count,
+           p.cluster_id
+    FROM xpron p JOIN lpick l
+      ON l.conv_id = p.conv_id AND l.cluster_id = p.cluster_id
+    WHERE CASE WHEN lower(p.m_text) IN ({personal})
+           THEN l.is_person ELSE NOT l.is_person END
+    """
+    )
 
 
 # -------- KG pipeline stages (non-SQL-expressible → rows-only checks)
@@ -993,6 +1088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref": _q_kg_coref,
         "kg_linking": _q_kg_linking,
         "kg_substitution": _q_kg_substitution,
+        "kg_coref_expansion": _q_kg_coref_expansion,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_entities": _q_kg_entities,
@@ -1270,6 +1366,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_linking": _linking_oracle_sql(),
         # T13 substitution, externally checked — see _q_kg_substitution
         "kg_substitution": _substitution_oracle_sql(),
+        # T12 coref expansion, externally checked — see _q_kg_coref_expansion
+        "kg_coref_expansion": _expansion_oracle_sql(),
         # remaining kg_* stages are deterministic NLP transforms over the
         # seeded transcript generator — not SQL-expressible; rows-only.
     }

@@ -296,6 +296,28 @@ def test_substitution_oracle_geometry_and_nonvacuity():
     assert n_sub > 0, "substitutions must actually occur"
 
 
+# ------------------- kg_coref_expansion oracle gate coverage (DuckDB)
+
+def test_expansion_oracle_gate_coverage():
+    """The T12 external check must exercise BOTH XOR-gate polarities:
+    a personal pronoun propagated into a PERSON-linked cluster and
+    non-personal pronouns into non-PERSON clusters."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    sql = e.oracle_sql()["kg_coref_expansion"]
+    types = dict(con.execute(
+        f"SELECT target_type, count(*) FROM ({sql}) GROUP BY 1").fetchall())
+    assert types.get("PERSON", 0) > 0, "personal-polarity propagation missing"
+    assert types.get("OTHER", 0) > 0, "non-personal polarity missing"
+
+
 # ---------------------- kg_extraction oracle reduction holds (no Spark)
 
 def test_extraction_oracle_vocabulary_reduction():
