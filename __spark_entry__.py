@@ -970,6 +970,205 @@ def _expansion_oracle_sql() -> str:
     )
 
 
+# T11 best-mention rule engine with a REAL oracle (seventh spine stage
+# this round): a TWO-injection corpus ("Brian Okafor" full person +
+# "Zorblatt" no-dictionary word) constrains the 330-LoC rule cascade to
+# exactly two live branches, both closed-form:
+# - P-a (bestmention.best_person:486-494): candidate PERSON names with
+#   more (but <4) words extending the source by word-prefix/suffix,
+#   picked by _pick's (distance, occurrence, display, entity) order —
+#   _nearest_occ breaks distance ties toward the smaller offset, so the
+#   global min over all candidate occurrences is exact;
+# - P-b (:496-513): the conservative person regex over the CONVERSATION
+#   text (turns joined by SEP='\n'). On this corpus its hits reduce to
+#   capitalized runs of EXACTLY two doc-words flanked by lowercase
+#   words with surrounding separators, and re.finditer's non-overlap
+#   consumption becomes a greedy min-gap-5 selection, reproduced with a
+#   per-document prefix fold (list_reduce). The '\n' separator rides
+#   into the matched surface (best mentions like 'Brian\nOkafor' are
+#   REAL engine output) and into the substring containment test.
+# Dead branches, pinned by tests: no ORGANIZATION/LOCATION entity ever
+# arises (org rules, loc rules, their doc regexes need suffixes/
+# acronyms/commas/parens the corpus lacks), so the OTHER cascade falls
+# through to best_person(probably_person=False) = P-a only. The
+# distinct-pass semantics are mirrored exactly: resolution at
+# rep_off=min(occurrence), identity when the rep-pick equals the name,
+# per-occurrence re-pick only for multi-entry (dep) names.
+_BEM_INJECT = [
+    ("\\bscan\\b", "Brian Okafor"),
+    ("\\bslow\\b", "Zorblatt"),
+]
+
+
+def _q_kg_best_mention_rules(spark, sf_dir):
+    """T11 rule engine externally checked — the production best_mentions
+    (distinct-pass Python rules + JVM occurrence fan-out + native
+    per-occurrence proximity re-pick) on the two-injection corpus."""
+    from docopenie_spark.operators import bestmention, fused
+    from docopenie_spark.plans.pipeline import default_dictionaries
+
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    for pat, rep in _BEM_INJECT:
+        c = F.regexp_replace(c, pat, rep)
+    t = derived_from_documents(docs.withColumn("text", c))
+    turns = assembly.with_turn_offsets(t)
+    firsts, gaz, lasts = default_dictionaries()
+    gaz |= {r[0] for r in datagen.gazetteer_rows()}
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    ents, _prons = ner.split_mentions(fused.split_entities(ann))
+    bems = bestmention.best_mentions(
+        ents, assembly.doc_chunks(t), datagen.gazetteer_rows()
+    )
+    return bems.select(
+        "conv_id", "kind",
+        F.col("target.text").alias("target_text"),
+        F.col("target.offset").alias("target_offset"),
+        F.col("target.entity_type").alias("target_type"),
+        "best_mention",
+        F.col("best_entity.text").alias("be_text"),
+        F.col("best_entity.offset").alias("be_offset"),
+        F.col("best_entity.name").alias("be_name"),
+        F.round("candidate_count", 6).alias("candidate_count"),
+    )
+
+
+def _bem_oracle_sql() -> str:
+    return _corpus_prefix_sql(_BEM_INJECT) + _ner_branch_sql() + """
+    , dnames AS (
+      SELECT conv_id, entity_type, name, min(off) AS rep_off
+      FROM cls GROUP BY conv_id, entity_type, name
+    ), occ AS (
+      SELECT conv_id, name, entity_type, off FROM cls
+    ), pa AS (
+      -- P-a: word-prefix/suffix extension by a longer (<4-word) PERSON
+      -- candidate; entry offsets are the candidate's entity occurrences
+      SELECT s.conv_id, s.entity_type AS s_type, s.name AS s_name,
+             c.name AS disp, o.off AS e_off
+      FROM dnames s
+      JOIN dnames c ON c.conv_id = s.conv_id AND c.entity_type = 'PERSON'
+        AND len(string_split(s.name, ' ')) < len(string_split(c.name, ' '))
+        AND len(string_split(c.name, ' ')) < 4
+        AND (string_split(c.name, ' ')[1 : len(string_split(s.name, ' '))]
+               = string_split(s.name, ' ')
+          OR string_split(c.name, ' ')[-len(string_split(s.name, ' ')) :]
+               = string_split(s.name, ' '))
+      JOIN occ o ON o.conv_id = c.conv_id AND o.name = c.name
+        AND o.entity_type = 'PERSON'
+    ), dw AS (
+      -- doc-level word positions (turns joined by 1-char separators)
+      SELECT cast(doc_id AS VARCHAR) AS conv_id,
+             unnest(words) AS word, generate_subscripts(words, 1) AS k
+      FROM w
+    ), dpos AS (
+      SELECT conv_id, word, k,
+             coalesce(sum(length(word) + 1) OVER (
+                 PARTITION BY conv_id ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+      FROM dw
+    ), elig AS (
+      -- P-b eligible hits: capitalized doc-word pair with lowercase
+      -- flank words and surrounding separators on both sides
+      SELECT conv_id, k, start,
+             word || (CASE WHEN k % 10 = 0 THEN chr(10) ELSE ' ' END)
+                  || wp1 AS nm
+      FROM (SELECT *,
+              regexp_matches(word, '^[A-Z]') AS cap,
+              lag(word, 1) OVER w1 AS wm1, lag(word, 2) OVER w1 AS wm2,
+              lead(word, 1) OVER w1 AS wp1, lead(word, 2) OVER w1 AS wp2,
+              lead(word, 3) OVER w1 AS wp3
+            FROM dpos
+            WINDOW w1 AS (PARTITION BY conv_id ORDER BY k)) f
+      WHERE cap AND regexp_matches(wp1, '^[A-Z]')
+        AND wm1 IS NOT NULL AND NOT regexp_matches(wm1, '^[A-Z]')
+        AND wm2 IS NOT NULL
+        AND wp2 IS NOT NULL AND NOT regexp_matches(wp2, '^[A-Z]')
+        AND wp3 IS NOT NULL
+    ), selected AS (
+      -- re.finditer consumption: a match consumes through the trailing
+      -- flank, so the next match needs a word-gap > 4 — greedy prefix
+      -- fold over the eligible positions
+      SELECT conv_id, k, start, nm FROM (
+        SELECT *, row_number() OVER wk AS i,
+               list(k) OVER (PARTITION BY conv_id ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pks
+        FROM elig
+        WINDOW wk AS (PARTITION BY conv_id ORDER BY k))
+      WHERE i = 1
+         OR k > list_reduce(pks,
+              (a, x) -> CASE WHEN x > a + 4 THEN x ELSE a END) + 4
+    ), pb AS (
+      -- P-b entries per PERSON source with pa empty: substring
+      -- containment of the source name in the matched surface
+      SELECT s.conv_id, s.entity_type AS s_type, s.name AS s_name,
+             h.nm AS disp, h.start AS e_off
+      FROM dnames s JOIN selected h ON h.conv_id = s.conv_id
+      WHERE s.entity_type = 'PERSON'
+        AND position(s.name IN h.nm) > 0
+        AND NOT EXISTS (SELECT 1 FROM pa
+                        WHERE pa.conv_id = s.conv_id
+                          AND pa.s_type = s.entity_type
+                          AND pa.s_name = s.name)
+    ), entries AS (
+      SELECT * FROM pa UNION ALL SELECT * FROM pb
+    ), edicts AS (
+      SELECT conv_id, s_type, s_name,
+             count(DISTINCT disp) AS n_disp
+      FROM entries GROUP BY 1, 2, 3
+    ), reppick AS (
+      -- the distinct-pass _pick at rep_off: global min over
+      -- (distance, occurrence, display, entity); entity == display here
+      SELECT e.conv_id, e.s_type, e.s_name,
+             min(struct_pack(d := abs(e.e_off - n.rep_off),
+                             o := e.e_off, disp := e.disp)) AS pick
+      FROM entries e JOIN dnames n ON n.conv_id = e.conv_id
+        AND n.entity_type = e.s_type AND n.name = e.s_name
+      GROUP BY 1, 2, 3
+    ), resolved AS (
+      SELECT r.conv_id, r.s_type, r.s_name,
+             r.pick.disp AS rep_disp, r.pick.o AS rep_occ,
+             d.n_disp, (d.n_disp > 1) AS dep
+      FROM reppick r JOIN edicts d ON d.conv_id = r.conv_id
+        AND d.s_type = r.s_type AND d.s_name = r.s_name
+    ), occpick AS (
+      -- per-occurrence re-pick for dep names (the native array_min path)
+      SELECT o.conv_id, o.entity_type, o.name, o.off,
+             min(struct_pack(d := abs(e.e_off - o.off),
+                             o2 := e.e_off, disp := e.disp)) AS pick
+      FROM occ o
+      JOIN resolved r ON r.conv_id = o.conv_id
+        AND r.s_type = o.entity_type AND r.s_name = o.name
+        AND r.dep AND r.rep_disp != o.name
+      JOIN entries e ON e.conv_id = o.conv_id
+        AND e.s_type = o.entity_type AND e.s_name = o.name
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT o.conv_id,
+           CASE WHEN r.rep_disp IS NULL OR r.rep_disp = o.name
+                THEN 'identity' ELSE 'full' END AS kind,
+           o.name AS target_text,
+           o.off AS target_offset,
+           o.entity_type AS target_type,
+           CASE WHEN r.rep_disp IS NULL OR r.rep_disp = o.name THEN o.name
+                WHEN r.dep THEN p.pick.disp
+                ELSE r.rep_disp END AS best_mention,
+           CASE WHEN r.rep_disp IS NULL OR r.rep_disp = o.name THEN NULL
+                WHEN r.dep THEN p.pick.disp ELSE r.rep_disp END AS be_text,
+           CASE WHEN r.rep_disp IS NULL OR r.rep_disp = o.name THEN NULL
+                WHEN r.dep THEN p.pick.o2 ELSE r.rep_occ END AS be_offset,
+           CASE WHEN r.rep_disp IS NULL OR r.rep_disp = o.name THEN NULL
+                WHEN r.dep THEN p.pick.disp ELSE r.rep_disp END AS be_name,
+           CASE WHEN r.rep_disp IS NULL OR r.rep_disp = o.name THEN 1.0
+                ELSE round(1.0 / r.n_disp, 6) END AS candidate_count
+    FROM occ o
+    LEFT JOIN resolved r ON r.conv_id = o.conv_id
+      AND r.s_type = o.entity_type AND r.s_name = o.name
+    LEFT JOIN occpick p ON p.conv_id = o.conv_id
+      AND p.entity_type = o.entity_type AND p.name = o.name
+      AND p.off = o.off
+    """
+
+
 # -------- KG pipeline stages (non-SQL-expressible → rows-only checks)
 
 def _q_kg_sentences(spark, sf_dir):
@@ -1089,6 +1288,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_linking": _q_kg_linking,
         "kg_substitution": _q_kg_substitution,
         "kg_coref_expansion": _q_kg_coref_expansion,
+        "kg_best_mention_rules": _q_kg_best_mention_rules,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_entities": _q_kg_entities,
@@ -1368,6 +1568,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_substitution": _substitution_oracle_sql(),
         # T12 coref expansion, externally checked — see _q_kg_coref_expansion
         "kg_coref_expansion": _expansion_oracle_sql(),
+        # T11 rule engine, externally checked — see _q_kg_best_mention_rules
+        "kg_best_mention_rules": _bem_oracle_sql(),
         # remaining kg_* stages are deterministic NLP transforms over the
         # seeded transcript generator — not SQL-expressible; rows-only.
     }

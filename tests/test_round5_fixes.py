@@ -318,6 +318,49 @@ def test_expansion_oracle_gate_coverage():
     assert types.get("OTHER", 0) > 0, "non-personal polarity missing"
 
 
+# ------------------ kg_best_mention_rules oracle preconditions (DuckDB)
+
+def test_bem_oracle_preconditions_and_nonvacuity():
+    """The T11 oracle's two-branch reduction rests on: the corpus has no
+    sentence punctuation (P-b's period flank, best_org's paren anchor,
+    best_loc's comma regex all dead), its capitalized vocabulary is
+    exactly the two injections' words (so NNP spans classify only
+    PERSON/OTHER — org/loc rules never dispatch), and both rule branches
+    actually fire."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    bad = con.execute(
+        "SELECT count(*) FROM documents "
+        "WHERE regexp_matches(text, '[.,()\\x27\"]')").fetchone()[0]
+    assert bad == 0, "corpus must stay punctuation-free"
+
+    spans_sql = e._corpus_prefix_sql(e._BEM_INJECT) + e._ner_branch_sql() + \
+        " SELECT DISTINCT entity_type FROM cls"
+    types = {r[0] for r in con.execute(spans_sql).fetchall()}
+    assert types <= {"PERSON", "OTHER"}, types
+
+    caps = e._corpus_prefix_sql(e._BEM_INJECT) + """
+        SELECT DISTINCT word FROM pos WHERE regexp_matches(word, '[A-Z]')"""
+    words = {r[0] for r in con.execute(caps).fetchall()}
+    assert words == {"Brian", "Okafor", "Zorblatt"}, words
+
+    sql = e.oracle_sql()["kg_best_mention_rules"]
+    kinds = dict(con.execute(
+        f"SELECT kind, count(*) FROM ({sql}) GROUP BY 1").fetchall())
+    assert kinds.get("full", 0) > 0 and kinds.get("identity", 0) > 0
+    crossing = con.execute(
+        f"SELECT count(*) FROM ({sql}) "
+        "WHERE best_mention LIKE '%' || chr(10) || '%'").fetchone()[0]
+    assert crossing > 0, "the cross-turn P-b surface must be exercised"
+
+
 # ---------------------- kg_extraction oracle reduction holds (no Spark)
 
 def test_extraction_oracle_vocabulary_reduction():
