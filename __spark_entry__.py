@@ -1033,8 +1033,10 @@ def _q_kg_best_mention_rules(spark, sf_dir):
     )
 
 
-def _bem_oracle_sql() -> str:
-    return _corpus_prefix_sql(_BEM_INJECT) + _ner_branch_sql() + """
+def _bem_branch_sql() -> str:
+    """Rule-engine CTEs on top of ``cls`` (+ the corpus ``w``), ending in
+    ``bem_rows`` (one row per entity occurrence with kind/best/count)."""
+    return """
     , dnames AS (
       SELECT conv_id, entity_type, name, min(off) AS rep_off
       FROM cls GROUP BY conv_id, entity_type, name
@@ -1124,7 +1126,7 @@ def _bem_oracle_sql() -> str:
       FROM entries e JOIN dnames n ON n.conv_id = e.conv_id
         AND n.entity_type = e.s_type AND n.name = e.s_name
       GROUP BY 1, 2, 3
-    ), resolved AS (
+    ), bres AS (
       SELECT r.conv_id, r.s_type, r.s_name,
              r.pick.disp AS rep_disp, r.pick.o AS rep_occ,
              d.n_disp, (d.n_disp > 1) AS dep
@@ -1136,13 +1138,13 @@ def _bem_oracle_sql() -> str:
              min(struct_pack(d := abs(e.e_off - o.off),
                              o2 := e.e_off, disp := e.disp)) AS pick
       FROM occ o
-      JOIN resolved r ON r.conv_id = o.conv_id
+      JOIN bres r ON r.conv_id = o.conv_id
         AND r.s_type = o.entity_type AND r.s_name = o.name
         AND r.dep AND r.rep_disp != o.name
       JOIN entries e ON e.conv_id = o.conv_id
         AND e.s_type = o.entity_type AND e.s_name = o.name
       GROUP BY 1, 2, 3, 4
-    )
+    ), bem_rows AS (
     SELECT o.conv_id,
            CASE WHEN r.rep_disp IS NULL OR r.rep_disp = o.name
                 THEN 'identity' ELSE 'full' END AS kind,
@@ -1161,12 +1163,125 @@ def _bem_oracle_sql() -> str:
            CASE WHEN r.rep_disp IS NULL OR r.rep_disp = o.name THEN 1.0
                 ELSE round(1.0 / r.n_disp, 6) END AS candidate_count
     FROM occ o
-    LEFT JOIN resolved r ON r.conv_id = o.conv_id
+    LEFT JOIN bres r ON r.conv_id = o.conv_id
       AND r.s_type = o.entity_type AND r.s_name = o.name
     LEFT JOIN occpick p ON p.conv_id = o.conv_id
       AND p.entity_type = o.entity_type AND p.name = o.name
       AND p.off = o.off
+    )"""
+
+
+def _bem_oracle_sql() -> str:
+    return _corpus_prefix_sql(_BEM_INJECT) + _ner_branch_sql() + _bem_branch_sql() + """
+    SELECT * FROM bem_rows
     """
+
+
+# U1 feature extraction with a REAL oracle (eighth this round): the 13
+# best-mention classifier features over the T11-oracle corpus. On it:
+# the rule engine emits only identity/full kinds (coref/linked features
+# are structurally 0 — generically computed anyway), container_entity is
+# always null (the four gazetteer-location features are provably the
+# constant 0.0, pinned by the T11 preconditions test — no LOCATION/
+# ORGANIZATION entity ever arises), candidate_count flows through, and
+# Coref Cluster Agrees is a pair of interval-containment joins between
+# the target/best-entity spans and the coref cluster mentions — all
+# re-derived from the composable bem + coref branches. bem_index
+# reproduces with_bem_index's row_number (offsets are unique per
+# conversation, so the first sort key alone decides). Only LR TRAINING
+# (U2, iterative numeric optimization) remains non-SQL-expressible.
+def _q_kg_bem_features(spark, sf_dir):
+    """U1 feature vectors externally checked — production bem_features
+    over the production rule-engine output + coref clusters."""
+    from docopenie_spark.operators import bestmention, classifier, coref, fused
+    from docopenie_spark.plans.pipeline import default_dictionaries
+
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    for pat, rep in _BEM_INJECT:
+        c = F.regexp_replace(c, pat, rep)
+    t = derived_from_documents(docs.withColumn("text", c))
+    turns = assembly.with_turn_offsets(t)
+    firsts, gaz, lasts = default_dictionaries()
+    gaz |= {r[0] for r in datagen.gazetteer_rows()}
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    mentions = fused.split_entities(ann)
+    ents, _prons = ner.split_mentions(mentions)
+    bems = bestmention.best_mentions(
+        ents, assembly.doc_chunks(t), datagen.gazetteer_rows()
+    )
+    cl = coref.clusters(mentions)
+    feats = classifier.bem_features(bems, cl, datagen.gazetteer_rows())
+    return feats.select(
+        "conv_id", "bem_index", "kind",
+        F.col("target.text").alias("target_text"),
+        F.col("target.offset").alias("target_offset"),
+        *[F.round(F.col(col), 6).alias(col) for col in classifier.FEATURE_COLS],
+    )
+
+
+def _bem_features_oracle_sql() -> str:
+    return (
+        _corpus_prefix_sql(_BEM_INJECT)
+        + _ner_branch_sql()
+        + _coref_branch_sql()
+        + _bem_branch_sql()
+        + """
+    , bidx AS (
+      -- with_bem_index: offsets are unique per conversation, so the
+      -- first sort key alone decides the row_number
+      SELECT *, cast(row_number() OVER (
+                 PARTITION BY conv_id ORDER BY target_offset) - 1 AS INT)
+             AS bem_index
+      FROM bem_rows
+    ), cm AS (
+      SELECT i.conv_id, i.cluster_id, m.off AS m_off,
+             length(m.text) AS m_len
+      FROM members m JOIN ids i ON i.conv_id = m.conv_id AND i.key = m.key
+    ), tcl AS (
+      SELECT DISTINCT b.conv_id, b.bem_index, c.cluster_id
+      FROM bidx b JOIN cm c ON c.conv_id = b.conv_id
+        AND c.m_off >= b.target_offset
+        AND c.m_off + c.m_len <= b.target_offset + length(b.target_text)
+      WHERE b.be_offset IS NOT NULL
+    ), bcl AS (
+      SELECT DISTINCT b.conv_id, b.bem_index, c.cluster_id
+      FROM bidx b JOIN cm c ON c.conv_id = b.conv_id
+        AND c.m_off >= b.be_offset
+        AND c.m_off + c.m_len <= b.be_offset + length(b.be_text)
+      WHERE b.be_offset IS NOT NULL
+    ), nboth AS (
+      SELECT conv_id, bem_index, count(*) AS n_common
+      FROM (SELECT t.conv_id, t.bem_index, t.cluster_id
+            FROM tcl t JOIN bcl x USING (conv_id, bem_index, cluster_id))
+      GROUP BY 1, 2
+    ), nb AS (
+      SELECT conv_id, bem_index, count(*) AS n_b FROM bcl GROUP BY 1, 2
+    )
+    SELECT b.conv_id, b.bem_index, b.kind, b.target_text, b.target_offset,
+           cast(b.target_type = 'ORGANIZATION' AS DOUBLE) AS f_is_organization_rule,
+           cast(b.target_type = 'LOCATION' AS DOUBLE) AS f_is_location_rule,
+           cast(b.target_type = 'PERSON' AS DOUBLE) AS f_is_person_rule,
+           cast(b.target_type = 'OTHER' AS DOUBLE) AS f_is_other_rule,
+           cast(b.kind LIKE 'coref%' AS DOUBLE) AS f_is_coref,
+           cast(b.kind = 'coref_link' AS DOUBLE) AS f_is_linked,
+           cast(b.kind = 'coref_identity' AS DOUBLE) AS f_is_coref_identity,
+           round(b.candidate_count, 6) AS f_ambiguous_candidate_count,
+           CASE WHEN coalesce(nboth.n_common, 0) > 0 THEN 1.0
+                WHEN coalesce(nb.n_b, 0) > 0 THEN -1.0
+                ELSE 0.0 END AS f_coref_cluster_agrees,
+           -- container_entity is always null on this corpus (no
+           -- location/org rules can fire — T11 preconditions test)
+           0.0 AS f_location_ambiguity_count,
+           0.0 AS f_state_contains_city,
+           0.0 AS f_country_contains_city,
+           0.0 AS f_loc_type_similarity
+    FROM bidx b
+    LEFT JOIN nboth ON nboth.conv_id = b.conv_id
+                   AND nboth.bem_index = b.bem_index
+    LEFT JOIN nb ON nb.conv_id = b.conv_id AND nb.bem_index = b.bem_index
+    """
+    )
 
 
 # -------- KG pipeline stages (non-SQL-expressible → rows-only checks)
@@ -1289,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_substitution": _q_kg_substitution,
         "kg_coref_expansion": _q_kg_coref_expansion,
         "kg_best_mention_rules": _q_kg_best_mention_rules,
+        "kg_bem_features": _q_kg_bem_features,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_entities": _q_kg_entities,
@@ -1570,6 +1686,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_coref_expansion": _expansion_oracle_sql(),
         # T11 rule engine, externally checked — see _q_kg_best_mention_rules
         "kg_best_mention_rules": _bem_oracle_sql(),
+        # U1 features, externally checked — see _q_kg_bem_features
+        "kg_bem_features": _bem_features_oracle_sql(),
         # remaining kg_* stages are deterministic NLP transforms over the
         # seeded transcript generator — not SQL-expressible; rows-only.
     }

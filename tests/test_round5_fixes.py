@@ -361,6 +361,31 @@ def test_bem_oracle_preconditions_and_nonvacuity():
     assert crossing > 0, "the cross-turn P-b surface must be exercised"
 
 
+# -------------------- kg_bem_features oracle coverage (DuckDB only)
+
+def test_bem_features_oracle_agree_coverage():
+    """The U1 external check must exercise the Coref Cluster Agrees
+    feature in all three outcomes (1 agree / -1 disagree / 0 neutral)
+    and both live entity-type features."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    sql = e.oracle_sql()["kg_bem_features"]
+    agrees = {r[0] for r in con.execute(
+        f"SELECT DISTINCT f_coref_cluster_agrees FROM ({sql})").fetchall()}
+    assert {float(a) for a in agrees} == {-1.0, 0.0, 1.0}, agrees
+    n_p, n_o = con.execute(
+        f"SELECT sum(f_is_person_rule), sum(f_is_other_rule) FROM ({sql})"
+    ).fetchone()
+    assert n_p > 0 and n_o > 0
+
+
 # ---------------------- kg_extraction oracle reduction holds (no Spark)
 
 def test_extraction_oracle_vocabulary_reduction():
