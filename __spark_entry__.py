@@ -1284,6 +1284,95 @@ def _bem_features_oracle_sql() -> str:
     )
 
 
+# T5 relnoun extraction with a REAL oracle (ninth this round): inject
+# one appositive phrase ("Okafor , president of GDC") into the soup.
+# Chunk breaks on this corpus are exactly {",", "of"(IN), verb-"join"},
+# so NP chunk runs are closed-form; the Relnoun pattern (NP1-with-NNP,
+# ",", NP2-with-common-noun, "of", NP3) becomes a chain of run-adjacency
+# joins, with NNP ⇔ starts-uppercase and role-noun ⇔ lowercase
+# non-determiner (every lowercase vocab word tags NN/NNS except a/the).
+# Turn boundaries that split the injected phrase simply break the chain
+# on both sides. The query filters extractor='relnoun', so the verbal
+# extractor (still live — "join" stays a verb) needs no modeling here.
+_RELNOUN_INJECT = [("\\bcolumn\\b", "Okafor , president of GDC")]
+
+
+def _q_kg_relnoun(spark, sf_dir):
+    """T5 relnoun extraction externally checked — the real fused pass
+    over the appositive-injected corpus, relnoun rows only."""
+    from docopenie_spark.operators import fused
+    from docopenie_spark.plans.pipeline import default_dictionaries
+
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    for pat, rep in _RELNOUN_INJECT:
+        c = F.regexp_replace(c, pat, rep)
+    t = derived_from_documents(docs.withColumn("text", c))
+    turns = assembly.with_turn_offsets(t)
+    firsts, gaz, lasts = default_dictionaries()
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    tr = fused.split_triples(ann).where(F.col("extractor") == "relnoun")
+    return tr.select(
+        "conv_id", "turn_idx", "sent_num",
+        F.col("arg1.text").alias("arg1"),
+        F.col("arg1.offset").alias("arg1_offset"),
+        F.col("rel.text").alias("rel"),
+        F.col("rel.offset").alias("rel_offset"),
+        F.col("arg2.text").alias("arg2"),
+        F.col("arg2.offset").alias("arg2_offset"),
+        "confidence", "extractor",
+    )
+
+
+def _relnoun_oracle_sql() -> str:
+    return _corpus_prefix_sql(_RELNOUN_INJECT) + """
+    , rtagged AS (
+      -- chunk breaks: comma (O), "of" (PP), verb-"join" (VP)
+      SELECT *, (word = ',' OR word = 'of'
+                 OR (word = 'join' AND coalesce(lag(word) OVER (
+                     PARTITION BY conv_id, turn_idx ORDER BY k), '')
+                     NOT IN ('a', 'the'))) AS is_break
+      FROM pos
+    ), rruns AS (
+      SELECT *, k - row_number() OVER (
+                 PARTITION BY conv_id, turn_idx, is_break ORDER BY k) AS grp
+      FROM rtagged
+    ), rsegs AS (
+      SELECT conv_id, turn_idx, grp,
+             min(turn_offset) AS turn_offset,
+             min(k) AS k0, max(k) AS k1, min(spos) AS s0,
+             string_agg(word, ' ' ORDER BY k) AS txt,
+             bool_or(regexp_matches(word, '^[A-Z]')) AS has_nnp,
+             bool_or(NOT regexp_matches(word, '^[A-Z]')
+                     AND word NOT IN ('a', 'the')) AS has_role
+      FROM rruns WHERE NOT is_break
+      GROUP BY conv_id, turn_idx, grp
+    ), rbreaks AS (
+      SELECT conv_id, turn_idx, word, k FROM rtagged WHERE is_break
+    )
+    SELECT np1.conv_id, np1.turn_idx, cast(0 AS INT) AS sent_num,
+           np1.txt AS arg1,
+           cast(np1.turn_offset + np1.s0 AS BIGINT) AS arg1_offset,
+           'is ' || np2.txt || ' of' AS rel,
+           cast(np2.turn_offset + np2.s0 AS BIGINT) AS rel_offset,
+           np3.txt AS arg2,
+           cast(np3.turn_offset + np3.s0 AS BIGINT) AS arg2_offset,
+           0.88 AS confidence,
+           'relnoun' AS extractor
+    FROM rsegs np1
+    JOIN rbreaks cm ON cm.conv_id = np1.conv_id
+      AND cm.turn_idx = np1.turn_idx AND cm.k = np1.k1 + 1 AND cm.word = ','
+    JOIN rsegs np2 ON np2.conv_id = np1.conv_id
+      AND np2.turn_idx = np1.turn_idx AND np2.k0 = cm.k + 1
+    JOIN rbreaks ofk ON ofk.conv_id = np1.conv_id
+      AND ofk.turn_idx = np1.turn_idx AND ofk.k = np2.k1 + 1
+      AND ofk.word = 'of'
+    JOIN rsegs np3 ON np3.conv_id = np1.conv_id
+      AND np3.turn_idx = np1.turn_idx AND np3.k0 = ofk.k + 1
+    WHERE np1.has_nnp AND np2.has_role
+    """
+
+
 # -------- KG pipeline stages (non-SQL-expressible → rows-only checks)
 
 def _q_kg_sentences(spark, sf_dir):
@@ -1405,6 +1494,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref_expansion": _q_kg_coref_expansion,
         "kg_best_mention_rules": _q_kg_best_mention_rules,
         "kg_bem_features": _q_kg_bem_features,
+        "kg_relnoun": _q_kg_relnoun,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_entities": _q_kg_entities,
@@ -1688,6 +1778,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_best_mention_rules": _bem_oracle_sql(),
         # U1 features, externally checked — see _q_kg_bem_features
         "kg_bem_features": _bem_features_oracle_sql(),
+        # T5 relnoun, externally checked — see _q_kg_relnoun
+        "kg_relnoun": _relnoun_oracle_sql(),
         # remaining kg_* stages are deterministic NLP transforms over the
         # seeded transcript generator — not SQL-expressible; rows-only.
     }

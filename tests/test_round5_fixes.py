@@ -386,6 +386,27 @@ def test_bem_features_oracle_agree_coverage():
     assert n_p > 0 and n_o > 0
 
 
+# ---------------------------- kg_relnoun oracle non-vacuity (DuckDB)
+
+def test_relnoun_oracle_nonvacuous():
+    """The T5 external check must fire on the corpus with multi-word
+    argument spans (the NP runs extend past the injected words)."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    sql = e.oracle_sql()["kg_relnoun"]
+    n, m1, m2 = con.execute(
+        f"SELECT count(*), max(len(string_split(arg1, ' '))), "
+        f"max(len(string_split(arg2, ' '))) FROM ({sql})").fetchone()
+    assert n > 50 and m1 > 1 and m2 > 1
+
+
 # ---------------------- kg_extraction oracle reduction holds (no Spark)
 
 def test_extraction_oracle_vocabulary_reduction():
