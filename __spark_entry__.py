@@ -1284,6 +1284,58 @@ def _bem_features_oracle_sql() -> str:
     )
 
 
+# U2 train+score with a REAL oracle (tenth this round): a PREDICTION-
+# level external check on the classifier stage — the one stage whose
+# internals (iterative LBFGS optimization) are not SQL-expressible.
+# The reduction: labels are a deterministic, LINEARLY-SEPARABLE function
+# of the 13-feature vector (label = person-rule AND cluster-agrees>=0 —
+# separable with margin via w_person=2, w_agree=1.5, b=-1), so the
+# production trainer (classifier.train_classifier: VectorAssembler over
+# FEATURE_COLS + pyspark.ml LogisticRegression, maxIter=50,
+# regParam=0.01) MUST classify the training set perfectly, and DuckDB
+# can state what every prediction must equal from the closed-form
+# feature chain. Both conjuncts are load-bearing on this corpus
+# (person rows with agree=-1 exist and flip to negative — pinned by
+# test), so a wiring defect in either feature column, the assembler
+# order, the label column, or score()'s probability[1] indexing flips
+# rows and fails the hash. Measured margins are saturated (positives
+# >= 0.97, negatives <= 0.13 at sf0.001 and sf0.01), so the 0/1
+# predictions are robust to float summation order in treeAggregate.
+# This checks the TRAIN+SCORE PATH, not the learned weights (disclosed;
+# weights on separable data are regularization-determined).
+def _q_kg_bem_predictions(spark, sf_dir):
+    """U2 externally checked at the prediction level — production
+    train_classifier + score over the U1-oracle feature vectors with
+    provably separable labels."""
+    from docopenie_spark.operators import classifier
+
+    feats = _q_kg_bem_features(spark, sf_dir)
+    labeled = feats.withColumn(
+        "label",
+        (
+            (F.col("f_is_person_rule") == 1.0)
+            & (F.col("f_coref_cluster_agrees") >= 0.0)
+        ).cast("double"),
+    ).cache()
+    model = classifier.train_classifier(labeled)
+    scored = classifier.score(model, labeled)
+    return scored.select(
+        "conv_id", "bem_index", "label",
+        (F.col("confidence") > 0.5).cast("double").alias("prediction"),
+    )
+
+
+def _bem_predictions_oracle_sql() -> str:
+    label = ("cast(f_is_person_rule = 1.0 AND f_coref_cluster_agrees >= 0.0 "
+             "AS DOUBLE)")
+    return (
+        "SELECT conv_id, bem_index, "
+        f"{label} AS label, {label} AS prediction FROM ("
+        + _bem_features_oracle_sql()
+        + ")"
+    )
+
+
 # T5 relnoun extraction with a REAL oracle (ninth this round): inject
 # one appositive phrase ("Okafor , president of GDC") into the soup.
 # Chunk breaks on this corpus are exactly {",", "of"(IN), verb-"join"},
@@ -1494,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_coref_expansion": _q_kg_coref_expansion,
         "kg_best_mention_rules": _q_kg_best_mention_rules,
         "kg_bem_features": _q_kg_bem_features,
+        "kg_bem_predictions": _q_kg_bem_predictions,
         "kg_relnoun": _q_kg_relnoun,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
@@ -1778,6 +1831,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_best_mention_rules": _bem_oracle_sql(),
         # U1 features, externally checked — see _q_kg_bem_features
         "kg_bem_features": _bem_features_oracle_sql(),
+        # U2 train+score, externally checked at the prediction level —
+        # see _q_kg_bem_predictions
+        "kg_bem_predictions": _bem_predictions_oracle_sql(),
         # T5 relnoun, externally checked — see _q_kg_relnoun
         "kg_relnoun": _relnoun_oracle_sql(),
         # remaining kg_* stages are deterministic NLP transforms over the

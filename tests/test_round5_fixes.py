@@ -456,6 +456,71 @@ def test_extraction_oracle_nonvacuous():
     assert max_a1 > 1 and max_a2 > 1, "multi-word NP arguments must occur"
 
 
+# ------------------- kg_bem_predictions oracle preconditions (DuckDB)
+
+def test_bem_predictions_oracle_label_nonvacuous():
+    """The U2 prediction-level check is only meaningful if (a) both
+    classes occur and (b) BOTH conjuncts of the separable label decide
+    rows: person rows with a disagreeing cluster (agree = -1) must
+    exist and flip to negative — otherwise the label degenerates to
+    f_is_person_rule and the agree feature is not load-bearing."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    feat_sql = e.oracle_sql()["kg_bem_features"]
+    n_pos, n_neg, n_neg_person = con.execute(
+        f"""SELECT
+              sum(cast(f_is_person_rule = 1.0
+                       AND f_coref_cluster_agrees >= 0.0 AS INT)),
+              sum(cast(NOT (f_is_person_rule = 1.0
+                            AND f_coref_cluster_agrees >= 0.0) AS INT)),
+              sum(cast(f_is_person_rule = 1.0
+                       AND f_coref_cluster_agrees = -1.0 AS INT))
+            FROM ({feat_sql})"""
+    ).fetchone()
+    assert n_pos > 50 and n_neg > 50, (n_pos, n_neg)
+    assert n_neg_person > 0, "AND conjunct must flip person rows"
+    pred_sql = e.oracle_sql()["kg_bem_predictions"]
+    mism = con.execute(
+        f"SELECT count(*) FROM ({pred_sql}) WHERE label <> prediction"
+    ).fetchone()[0]
+    assert mism == 0
+
+
+def test_train_classifier_perfect_on_separable(spark):
+    """The reduction behind kg_bem_predictions: the production trainer
+    must classify a linearly-separable training set perfectly, with
+    saturated probabilities (so the 0/1 predictions are deterministic
+    under float summation-order variation)."""
+    rows = []
+    # all modes of (person, agree) the corpus exhibits, amplified
+    for i in range(30):
+        for person, agree in [(1.0, 1.0), (1.0, 0.0), (1.0, -1.0),
+                              (0.0, 0.0), (0.0, -1.0)]:
+            label = 1.0 if (person == 1.0 and agree >= 0.0) else 0.0
+            feat = {c: 0.0 for c in classifier.FEATURE_COLS}
+            feat["f_is_person_rule"] = person
+            feat["f_is_other_rule"] = 1.0 - person
+            feat["f_coref_cluster_agrees"] = agree
+            feat["f_ambiguous_candidate_count"] = 1.0 / (1 + i % 3)
+            rows.append({"label": label, **feat})
+    df = spark.createDataFrame(rows)
+    model = classifier.train_classifier(df)
+    scored = classifier.score(model, df)
+    bad = scored.where(
+        ((F.col("confidence") > 0.5).cast("double") != F.col("label"))
+        | ((F.col("label") == 1.0) & (F.col("confidence") < 0.8))
+        | ((F.col("label") == 0.0) & (F.col("confidence") > 0.2))
+    ).count()
+    assert bad == 0
+
+
 # --------------------------- VERDICT: fused-pass pathological-turn fuzz
 
 ADVERSARIAL_TURNS = [
