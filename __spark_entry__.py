@@ -1425,6 +1425,194 @@ def _relnoun_oracle_sql() -> str:
     """
 
 
+# END-TO-END run_pipeline with a REAL oracle (eleventh this round, the
+# capstone): the production run_pipeline — assembly → fused segment/
+# tokenize/extract/NER → coref → linking → T11 rule engine → T12 coref
+# expansion → display filter → T13 substitution — over ONE corpus on
+# which every stage collapses to the already-proven closed forms, so the
+# DuckDB side is a COMPOSITION of the per-stage branch builders plus two
+# new pieces (the T12 cluster-decision CTEs and a generic greedy
+# multi-splice). Corpus = the T11 rule-engine corpus + the three
+# pronouns: "Brian Okafor" (a full dict person, PER0001 with alias
+# "Okafor", so LINKS ARE LIVE and unambiguous — single candidate per
+# matched key, ambiguity semi-join provably empty, doc_sim = 0),
+# "Zorblatt" (no-dict OTHER), he/it/they (coref + the T12 XOR gate in
+# both polarities + PRP-subject confidence penalty). Cluster decisions
+# exercise BOTH T12 branches: link-decided (n_links = 1 → coref_link)
+# and bem-decided (n_best = 1 → coref_identity / coref_full, including
+# '\n'-carrying P-b bests spliced into triples — real engine output).
+# The Spark min(struct(best_mention, kind, target(...))) tie order is
+# total here because target.offset is unique per conversation. Display
+# mentions within one argument are DISJOINT spans (entities and
+# pronouns never overlap), so the greedy fold never drops a
+# substitution — the SQL still implements the full cursor fold
+# (prefix list_reduce, as in the P-b consumption) rather than assuming
+# one splice per arg; multi-splice arguments exist and are pinned by a
+# nonvacuity test.
+_E2E_INJECT = _BEM_INJECT + [
+    ("\\bfast\\b", "he"),
+    ("\\bbig\\b", "it"),
+    ("\\bsmall\\b", "they"),
+]
+
+
+def _q_kg_end_to_end(spark, sf_dir):
+    """The flagship: production run_pipeline over the composed oracle
+    corpus; final substituted triples, externally checked end-to-end."""
+    from docopenie_spark.plans.pipeline import run_pipeline
+
+    docs = _docs(spark, sf_dir)
+    c = F.col("text")
+    for pat, rep in _E2E_INJECT:
+        c = F.regexp_replace(c, pat, rep)
+    t = derived_from_documents(docs.withColumn("text", c))
+    r = run_pipeline(spark, t, cache=False)
+    return r.triples.select(
+        "conv_id", "turn_idx", "sent_num", "subj", "pred", "obj",
+        "subj_raw", "obj_raw", "confidence", "extractor",
+    )
+
+
+def _e2e_chain_sql() -> str:
+    """The full composed CTE chain (prefix → … → xsplice), exposed
+    separately so the preconditions test can probe intermediates."""
+    from docopenie_spark.operators.bestmention import PERSONAL_PRONOUNS
+    from docopenie_spark.operators.ner import PRONOUNS as NER_PRONOUNS
+
+    personal = _sql_strset(PERSONAL_PRONOUNS)
+    prons = _sql_strset(NER_PRONOUNS)
+    # greedy-fold helpers: subs encoded rs*100000 + re (arg offsets are
+    # < 750 chars); the fold state is the cursor after each decision
+    enc = "x -> cast(x.rs AS BIGINT) * 100000 + x.re"
+    step = ("(a, x) -> CASE WHEN x // 100000 >= a "
+            "THEN x % 100000 ELSE a END")
+    return (
+        _corpus_prefix_sql(_E2E_INJECT)
+        + _extract_branch_sql()
+        + _ner_branch_sql()
+        + _coref_branch_sql()
+        + _linking_branch_sql()
+        + _bem_branch_sql()
+        + f"""
+    , xm AS (
+      SELECT m.conv_id, i.cluster_id, m.text AS m_text, m.off AS m_offset
+      FROM members m JOIN ids i ON i.conv_id = m.conv_id AND i.key = m.key
+    ), xl AS (
+      -- link decision: exactly one distinct linked id over the cluster's
+      -- mention offsets (name is fixed per id; is_person likewise)
+      SELECT x.conv_id, x.cluster_id, count(DISTINCT l.id) AS n_l,
+             min(l.name) AS l_name, bool_or(l.is_person) AS l_person
+      FROM xm x JOIN links l
+        ON l.conv_id = x.conv_id AND l.clean_offset = x.m_offset
+      GROUP BY 1, 2
+    ), xbn AS (
+      SELECT x.conv_id, x.cluster_id,
+             count(DISTINCT b.best_mention) AS n_b
+      FROM xm x JOIN bem_rows b
+        ON b.conv_id = x.conv_id AND b.target_offset = x.m_offset
+      GROUP BY 1, 2
+    ), xbp AS (
+      -- Spark's min(struct(best_mention, kind, target(text, offset, …)))
+      -- — target_offset is unique per conversation, so the order is total
+      SELECT x.conv_id, x.cluster_id, b.best_mention AS b_best,
+             b.kind AS b_kind, b.target_text AS b_tname,
+             b.target_type AS b_type,
+             row_number() OVER (PARTITION BY x.conv_id, x.cluster_id
+                 ORDER BY b.best_mention, b.kind, b.target_text,
+                          b.target_offset) AS rn
+      FROM xm x JOIN bem_rows b
+        ON b.conv_id = x.conv_id AND b.target_offset = x.m_offset
+    ), xdec AS (
+      SELECT c.conv_id, c.cluster_id,
+             coalesce(l.n_l, 0) = 1 AS use_link,
+             l.l_name, l.l_person, p.b_best, p.b_kind, p.b_tname, p.b_type
+      FROM (SELECT DISTINCT conv_id, cluster_id FROM xm) c
+      LEFT JOIN xl l ON l.conv_id = c.conv_id AND l.cluster_id = c.cluster_id
+      LEFT JOIN xbn n ON n.conv_id = c.conv_id AND n.cluster_id = c.cluster_id
+      LEFT JOIN xbp p ON p.conv_id = c.conv_id AND p.cluster_id = c.cluster_id
+            AND p.rn = 1
+      WHERE coalesce(l.n_l, 0) = 1 OR coalesce(n.n_b, 0) = 1
+    ), xrows AS (
+      -- T12 new rows: pronoun members of decided clusters, XOR-gated
+      SELECT p.conv_id, p.m_text AS target_text, p.m_offset AS target_offset,
+             CASE WHEN d.use_link THEN d.l_name
+                  WHEN d.b_kind = 'identity' THEN d.b_tname
+                  ELSE d.b_best END AS best
+      FROM xm p JOIN xdec d
+        ON d.conv_id = p.conv_id AND d.cluster_id = p.cluster_id
+      WHERE lower(p.m_text) IN ({prons})
+        AND (lower(p.m_text) IN ({personal}))
+            = (CASE WHEN d.use_link THEN d.l_person
+                    ELSE d.b_type = 'PERSON' END)
+    ), xdisp AS (
+      -- display_filter over bems ∪ expansion rows
+      SELECT DISTINCT conv_id, target_offset AS m_off,
+             length(target_text) AS m_len, best_mention AS best
+      FROM bem_rows
+      WHERE kind <> 'identity' AND best_mention <> target_text
+      UNION
+      SELECT DISTINCT conv_id, target_offset, length(target_text), best
+      FROM xrows WHERE best <> target_text
+    ), xtarg AS (
+      SELECT conv_id, turn_idx, rel_offset, 'arg1' AS which,
+             arg1 AS atext, arg1_offset AS aoff FROM triples
+      UNION ALL
+      SELECT conv_id, turn_idx, rel_offset, 'arg2', arg2, arg2_offset
+      FROM triples
+    ), xhit AS (
+      -- containment join, deduped like Spark's collect_set
+      SELECT DISTINCT t.conv_id, t.turn_idx, t.rel_offset, t.which,
+             t.atext, cast(d.m_off - t.aoff AS BIGINT) AS rs,
+             cast(d.m_off - t.aoff + d.m_len AS BIGINT) AS re, d.best
+      FROM xtarg t JOIN xdisp d ON d.conv_id = t.conv_id
+        AND d.m_off >= t.aoff
+        AND d.m_off + d.m_len <= t.aoff + length(t.atext)
+    ), xfold AS (
+      SELECT conv_id, turn_idx, rel_offset, which, atext,
+             list(struct_pack(rs := rs, re := re, b := best)
+                  ORDER BY rs, re, best) AS subs
+      FROM xhit GROUP BY 1, 2, 3, 4, 5
+    ), xfcur AS (
+      SELECT *, list_reduce(list_prepend(cast(0 AS BIGINT),
+                    list_transform(subs, {enc})), {step}) AS end_cur
+      FROM xfold
+    ), xparts AS (
+      SELECT conv_id, turn_idx, rel_offset, which, atext, end_cur, subs,
+             unnest(subs) AS s, generate_subscripts(subs, 1) AS i
+      FROM xfcur
+    ), xscored AS (
+      -- cursor BEFORE sub i = fold over the preceding subs
+      SELECT *, list_reduce(list_prepend(cast(0 AS BIGINT),
+                    list_transform(subs[1 : i - 1], {enc})), {step}) AS cur
+      FROM xparts
+    ), xsplice AS (
+      SELECT conv_id, turn_idx, rel_offset, which,
+             string_agg(CASE WHEN s.rs >= cur
+                 THEN atext[cur + 1 : s.rs] || s.b END, '' ORDER BY i)
+               || any_value(atext)[any_value(end_cur) + 1 :] AS stext
+      FROM xscored GROUP BY 1, 2, 3, 4
+    )"""
+    )
+
+
+def _e2e_oracle_sql() -> str:
+    return _e2e_chain_sql() + """
+    SELECT t.conv_id, t.turn_idx, t.sent_num,
+           coalesce(s1.stext, t.arg1) AS subj,
+           t.rel AS pred,
+           coalesce(s2.stext, t.arg2) AS obj,
+           t.arg1 AS subj_raw, t.arg2 AS obj_raw,
+           t.confidence, t.extractor
+    FROM triples t
+    LEFT JOIN xsplice s1 ON s1.conv_id = t.conv_id
+        AND s1.turn_idx = t.turn_idx AND s1.rel_offset = t.rel_offset
+        AND s1.which = 'arg1'
+    LEFT JOIN xsplice s2 ON s2.conv_id = t.conv_id
+        AND s2.turn_idx = t.turn_idx AND s2.rel_offset = t.rel_offset
+        AND s2.which = 'arg2'
+    """
+
+
 # -------- KG pipeline stages (non-SQL-expressible → rows-only checks)
 
 def _q_kg_sentences(spark, sf_dir):
@@ -1548,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bem_features": _q_kg_bem_features,
         "kg_bem_predictions": _q_kg_bem_predictions,
         "kg_relnoun": _q_kg_relnoun,
+        "kg_end_to_end": _q_kg_end_to_end,
         "kg_sentences": _q_kg_sentences,
         "kg_triples_raw": _q_kg_triples_raw,
         "kg_entities": _q_kg_entities,
@@ -1836,6 +2025,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_bem_predictions": _bem_predictions_oracle_sql(),
         # T5 relnoun, externally checked — see _q_kg_relnoun
         "kg_relnoun": _relnoun_oracle_sql(),
+        # END-TO-END: production run_pipeline, externally checked — see
+        # _q_kg_end_to_end
+        "kg_end_to_end": _e2e_oracle_sql(),
         # remaining kg_* stages are deterministic NLP transforms over the
         # seeded transcript generator — not SQL-expressible; rows-only.
     }

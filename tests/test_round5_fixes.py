@@ -606,3 +606,88 @@ def test_fused_pass_spark_end_to_end_on_adversarial_corpus(spark):
         off, txt = norm_turn[(r["conv_id"], r["turn_idx"])]
         local = r["offset"] - off
         assert txt[local:local + len(r["text"])] == r["text"]
+
+
+# --------------- kg_end_to_end oracle preconditions + nonvacuity (DuckDB)
+
+def test_e2e_oracle_preconditions_and_nonvacuity():
+    """The end-to-end oracle composes every per-stage closed form; this
+    pins the corpus properties the composition rests on: (a) entity
+    types are only PERSON/OTHER (the org/loc rule branches stay dead, as
+    in the T11 oracle); (b) the only dict-matched link keys are
+    'brian okafor'/'okafor', each with exactly one candidate (ambiguity
+    semi-join empty => doc_sim provably 0); (c) BOTH T12 decision
+    branches are live (link-decided and bem-decided clusters); (d) both
+    XOR-gate polarities fire AND the gate rejects some pronoun (it
+    bites); (e) multi-splice arguments exist (the greedy fold is
+    exercised beyond one sub); (f) final substitutions occur in both
+    argument positions, including a '\n'-carrying P-b best spliced
+    into a triple (real engine output). Probes run as SEPARATE
+    statements so DuckDB prunes the chain to each probe's depth
+    (scalar subqueries would re-evaluate the full chain per probe)."""
+    import duckdb
+    from collections import Counter
+
+    import __spark_entry__ as e
+
+    # (b) static half: candidate multiplicity of the matched keys
+    keys = Counter()
+    for (_i, nm, aliases, _t, _inl, _c) in datagen.entity_dict_rows():
+        keys[nm.lower()] += 1
+        for a in aliases:
+            keys[a.lower()] += 1
+    assert keys["brian okafor"] == 1 and keys["okafor"] == 1
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    chain = e._e2e_chain_sql()
+
+    types = [r[0] for r in con.execute(
+        chain + " SELECT DISTINCT entity_type FROM cls").fetchall()]
+    assert sorted(types) == ["OTHER", "PERSON"], types
+    lkeys = [r[0] for r in con.execute(
+        chain + " SELECT DISTINCT lower(clean_text) FROM links").fetchall()]
+    assert sorted(lkeys) == ["brian okafor", "okafor"], lkeys
+
+    # T12 decisions + gate outcomes in ONE pass over members x decisions
+    n_link, n_bem, n_he, n_thing, n_reject = con.execute(chain + """
+        SELECT
+          count(DISTINCT CASE WHEN d.use_link
+                THEN d.conv_id || '#' || d.cluster_id END),
+          count(DISTINCT CASE WHEN NOT d.use_link
+                THEN d.conv_id || '#' || d.cluster_id END),
+          sum(cast(lower(p.m_text) = 'he' AND
+              (CASE WHEN d.use_link THEN d.l_person
+                    ELSE d.b_type = 'PERSON' END) AS INT)),
+          sum(cast(lower(p.m_text) IN ('it', 'they') AND NOT
+              (CASE WHEN d.use_link THEN d.l_person
+                    ELSE d.b_type = 'PERSON' END) AS INT)),
+          sum(cast(lower(p.m_text) IN ('he', 'it', 'they') AND
+              (lower(p.m_text) = 'he') <>
+              (CASE WHEN d.use_link THEN d.l_person
+                    ELSE d.b_type = 'PERSON' END) AS INT))
+        FROM xm p JOIN xdec d
+          ON d.conv_id = p.conv_id AND d.cluster_id = p.cluster_id
+    """).fetchone()
+    assert n_link > 0 and n_bem > 0, (n_link, n_bem)
+    assert n_he > 0 and n_thing > 0, (n_he, n_thing)
+    assert n_reject > 0, "the XOR gate must reject at least one pronoun"
+
+    n_multi = con.execute(
+        chain + " SELECT count(*) FROM xfold WHERE len(subs) >= 2"
+    ).fetchone()[0]
+    assert n_multi > 0, "multi-splice arguments must occur"
+
+    final = e.oracle_sql()["kg_end_to_end"]
+    n_subj, n_obj, n_nl = con.execute(f"""
+        SELECT sum(cast(subj <> subj_raw AS INT)),
+               sum(cast(obj <> obj_raw AS INT)),
+               sum(cast(subj LIKE '%' || chr(10) || '%'
+                        OR obj LIKE '%' || chr(10) || '%' AS INT))
+        FROM ({final})
+    """).fetchone()
+    assert n_subj > 0 and n_obj > 0, (n_subj, n_obj)
+    assert n_nl > 0, "a newline-carrying P-b best must be spliced"
