@@ -104,6 +104,96 @@ def hyperplane_signature(vec_col, dims: int, planes: int = 16, table: int = 0):
     return out
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every (id_a < id_b)
+    pair whose cosine ≥ ``threshold``. This is the all-pairs EXACT path —
+    the oracle baseline and the verify kernel; it is O(n²) and belongs on
+    bounded inputs (a partition, a candidate set, a small corpus). The
+    100 TB path is :func:`cosine_neardup_lsh`, which generates candidates
+    from hyperplane buckets and verifies each with this same cosine
+    expression — bucketed, never all-pairs (the same split minhash
+    dedup uses in ``dedup.py``).
+
+    The filter applies to the RAW cosine; the output value is rounded to
+    4 decimals for stable cross-engine comparison (the precision the
+    ``embedding_topk`` oracle has held since round 1)."""
+    e = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col("_norm").alias("_n"),
+    )
+    a = e.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = e.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    rhs = F.broadcast(b) if broadcast_right else b
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        a.join(rhs, F.col("id_a") < F.col("id_b"))
+        .where(cos >= threshold)
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+    )
+
+
+def cosine_neardup_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    dims: int,
+    planes: int = 12,
+    tables: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scale path for embedding-cosine near-dup: candidate pairs are ids
+    that collide in ≥1 of ``tables`` hyperplane tables (one scan emits
+    all (table, bucket) rows, the self-join keys on them — shuffle
+    carries (table, bucket, id, vec) only), then each candidate is
+    verified with the exact cosine. Output precision is exact (every
+    emitted pair really is ≥ threshold); RECALL is the probabilistic
+    part — a near-dup pair whose projections straddle a hyperplane in
+    every table is missed, the standard LSH trade. More tables/fewer
+    planes raise recall. Candidate generation is fully deterministic
+    (driver-constant crc32 hyperplanes), so recall on a fixed corpus is
+    a fixed number — the pytest suite pins it against the exact path."""
+    sigs = F.array(
+        *[
+            hyperplane_signature(F.col(vec_col).cast("array<double>"), dims, planes, t)
+            for t in range(tables)
+        ]
+    )
+    e = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col("_norm").alias("_n"),
+        F.posexplode(sigs).alias("table", "bucket"),
+    )
+    a = e.select(
+        "table", "bucket",
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na"),
+    )
+    b = e.select(
+        "table", "bucket",
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb"),
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    return cand.where(cos >= threshold).select(
+        "id_a", "id_b", F.round(cos, 4).alias("cosine")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

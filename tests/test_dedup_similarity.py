@@ -117,3 +117,55 @@ def test_simhash_plan_has_no_python_stage(docs):
     plan = sims._jdf.queryExecution().executedPlan().toString()
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
         assert marker not in plan, marker
+
+
+def _planted_corpus(spark):
+    import __spark_entry__ as entry
+
+    return entry._neardup_planted_corpus(spark, "/root/testdata/sf0.001")
+
+
+def test_cosine_neardup_exact_finds_planted_pairs(spark):
+    """Embedding-cosine near-dup, exact path: over the planted corpus
+    (every 7th vector gets a perturbed copy at cosine ≈0.97-0.99) the
+    threshold-0.8 pairs are EXACTLY the plantings — cosines are
+    non-trivial (<1.0), so the join really computes them."""
+    out = similarity.cosine_neardup_pairs(_planted_corpus(spark), 0.8).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    want = {(v, v + 1000000) for v in range(0, 500, 7)}
+    assert got == want
+    assert all(0.8 < r.cosine < 1.0 for r in out)
+
+
+def test_cosine_neardup_threshold_margin(spark):
+    """Oracle-safety pin: no pair's raw cosine sits near the 0.8
+    threshold (cross-engine float agreement is ~1e-12; we require 0.15),
+    and unplanted pairs stay strictly below it — so the embedding_neardup
+    oracle can never flake on a boundary tie."""
+    corpus = _planted_corpus(spark)
+    all_pairs = similarity.cosine_neardup_pairs(corpus, -1.0).collect()
+    margins = [abs(r.cosine - 0.8) for r in all_pairs]
+    assert min(margins) >= 0.15
+    natural = [r.cosine for r in all_pairs if r.id_b < 1000000]
+    assert max(natural) < 0.8
+
+
+def test_cosine_neardup_lsh_precision_and_recall(spark):
+    """Scale path vs exact path (the ngram_jaccard_pairs split):
+    every LSH-emitted pair is verified exact (precision 1 by
+    construction), and recall on the fixed corpus is a FIXED number
+    (driver-constant crc32 hyperplanes, deterministic plantation) —
+    1.0 at (planes=8, tables=4); the (12, 2) default measures 0.736
+    here and 0.90 at sf0.01 (fewer planes / more tables is the recall
+    lever, as the docstring says), asserted at ≥0.7."""
+    corpus = _planted_corpus(spark)
+    exact = {(r.id_a, r.id_b, r.cosine)
+             for r in similarity.cosine_neardup_pairs(corpus, 0.8).collect()}
+    wide = {(r.id_a, r.id_b, r.cosine)
+            for r in similarity.cosine_neardup_lsh(
+                corpus, 0.8, dims=64, planes=8, tables=4).collect()}
+    assert wide == exact  # recall 1.0, identical verified cosines
+    dflt = {(r.id_a, r.id_b, r.cosine)
+            for r in similarity.cosine_neardup_lsh(corpus, 0.8, dims=64).collect()}
+    assert dflt <= exact
+    assert len(dflt) / len(exact) >= 0.7
