@@ -2,11 +2,12 @@
 columns with typed metadata.
 
 Decode kernels are REAL for the formats stdlib+numpy can parse —
-PPM (P6) and uncompressed 24-bit BMP images, PCM WAV audio — with real
-feature extraction (block-mean grayscale grid for images, per-window RMS
-energy for audio), all numpy-vectorized inside Arrow-batched
-``mapInPandas``. Formats that need codec libraries absent from this
-container (JPEG/PNG via PIL, any video via ffmpeg) raise
+PPM (P6), uncompressed 24-bit BMP, and PNG images (stdlib-zlib inflate
++ closed-form scanline unfilters — no PIL needed), PCM WAV audio — with
+real feature extraction (block-mean grayscale grid for images,
+per-window RMS energy for audio), all numpy-vectorized inside
+Arrow-batched ``mapInPandas``. Formats that need codec libraries absent
+from this container (JPEG via PIL/libjpeg, any video via ffmpeg) raise
 NotImplementedError at the kernel — the clearly-marked remaining stub —
 and ``fake=True`` substitutes a deterministic byte-derived vector so the
 Spark plumbing is exercisable for those kinds too.
@@ -62,8 +63,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     """Encoded image bytes → (H, W, 3) uint8 RGB.
 
     Real decoders for the container-parseable formats: PPM P6 (binary
-    portable pixmap) and uncompressed 24-bit bottom-up BMP. JPEG/PNG
-    need codec libraries absent here → NotImplementedError."""
+    portable pixmap), uncompressed 24-bit bottom-up BMP, and 8-bit PNG
+    (see :func:`_decode_png`). JPEG needs codec libraries absent here →
+    NotImplementedError."""
     if payload[:2] == b"P6":
         pos, fields = 2, []
         while len(fields) < 3:
@@ -110,9 +112,101 @@ def decode_image(payload: bytes) -> np.ndarray:
         if h > 0:  # bottom-up
             rows = rows[::-1]
         return rows[:, :, ::-1].copy()  # BGR → RGB
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
     raise NotImplementedError(
-        "image codec not decodable without PIL (only PPM/BMP supported here)"
+        "image codec not decodable without PIL (only PPM/BMP/PNG supported here)"
     )
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # gray, RGB, palette, RGBA
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Pure stdlib-zlib PNG decode → (H, W, 3) uint8 RGB.
+
+    Real (not stubbed): PNG's only compression is DEFLATE, which
+    ``zlib`` inflates, and the per-scanline filters (None/Sub/Up/
+    Average/Paeth) are closed-form byte arithmetic. Supported: 8-bit
+    depth, color types 0 (gray), 2 (RGB), 3 (palette), 6 (RGBA —
+    alpha dropped), non-interlaced. 16-bit depth and Adam7 interlace
+    raise NotImplementedError; malformed/truncated payloads raise
+    ValueError (fail-loud, never a task livelock — the PPM lesson)."""
+    import zlib
+
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos : pos + 4], "big")
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if len(data) < ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"PLTE":
+            plte = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, interlace = ihdr[8], ihdr[9], ihdr[12]
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG depth={depth} colortype={ctype}")
+    if interlace != 0:
+        raise NotImplementedError("PNG Adam7 interlace")
+    ch = _PNG_CHANNELS[ctype]
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG IDAT: {e}")
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):  # filters chain row-to-row; columns stay vectorized
+        f, row = raw[y, 0], raw[y, 1:].astype(np.int32)
+        up = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            cur = row
+        elif f == 2:  # Up
+            cur = (row + up) & 0xFF
+        elif f == 1:  # Sub: per channel lane it is a prefix sum mod 256
+            cur = np.empty(stride, dtype=np.int32)
+            for k in range(ch):
+                cur[k::ch] = np.cumsum(row[k::ch]) & 0xFF
+        elif f in (3, 4):  # Average/Paeth: true left-to-right dependency
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = up[x]
+                if f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    c = up[x - ch] if x >= ch else 0
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                cur[x] = (row[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter byte {f}")
+        out[y] = cur
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        return np.repeat(px, 3, axis=2).copy()
+    if ctype == 3:
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG without a valid PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[:, :, 0]
+        if int(idx.max(initial=0)) >= pal.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return pal[idx].copy()
+    return px[:, :, :3].copy()  # RGB passthrough / RGBA drops alpha
 
 
 def decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
@@ -170,9 +264,9 @@ def extract_features(media: DataFrame, dim: int = 16, fake: bool = False) -> Dat
     """binary payload → feature vector via Arrow-batched mapInPandas.
 
     fake=False (production path): REAL decode + feature kernels —
-    images (PPM/BMP) → grayscale block-mean grid, audio (PCM WAV) →
+    images (PPM/BMP/PNG) → grayscale block-mean grid, audio (PCM WAV) →
     per-window RMS energy. Kinds/codecs needing absent libraries
-    (JPEG/PNG, any video) raise NotImplementedError at task time — the
+    (JPEG, any video) raise NotImplementedError at task time — the
     clearly-marked remaining stub. fake=True: deterministic byte-derived
     vectors for every kind, exercising the identical Spark plumbing."""
 
@@ -215,6 +309,62 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
+def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W, 3) uint8 RGB → PNG bytes (the test-side encoder, stdlib
+    zlib + crc). ``filter_type`` applies that scanline filter to every
+    row so tests can exercise each decoder unfilter path (0-4)."""
+    import zlib
+
+    h, w = img.shape[:2]
+    img = img.astype(np.uint8)
+    ch = 3
+    lines = []
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        row = img[y].reshape(-1).astype(np.int32)
+        if filter_type == 0:
+            enc = row
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), row[:-ch]])
+            enc = (row - left) & 0xFF
+        elif filter_type == 2:
+            enc = (row - prev) & 0xFF
+        elif filter_type == 3:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), row[:-ch]])
+            enc = (row - ((left + prev) >> 1)) & 0xFF
+        elif filter_type == 4:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), row[:-ch]])
+            ul = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+            pa, pb, pc = (
+                np.abs(prev - ul), np.abs(left - ul), np.abs(left + prev - 2 * ul)
+            )
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (row - pred) & 0xFF
+        else:
+            raise ValueError(f"filter_type {filter_type}")
+        lines.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        body = typ + data
+        return len(data).to_bytes(4, "big") + body + (
+            zlib.crc32(body) & 0xFFFFFFFF
+        ).to_bytes(4, "big")
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, RGB, deflate, adaptive, no interlace
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def encode_wav(x: np.ndarray, sample_rate: int = 8000) -> bytes:
     """mono float32 [-1, 1] → PCM16 WAV bytes (the test-side encoder)."""
     import io
@@ -231,9 +381,11 @@ def encode_wav(x: np.ndarray, sample_rate: int = 8000) -> bytes:
 
 def synthetic_media(spark, n: int = 32, real_payloads: bool = True) -> DataFrame:
     """Deterministic media table. With ``real_payloads`` images are real
-    PPM bitmaps and audio real PCM WAVs (decodable by the production
-    kernels); video payloads stay opaque bytes (no dependency-free
-    container format — its decode is the disclosed stub)."""
+    bitmaps — alternating PPM and PNG (every second image, exercising
+    the zlib decode path in the Spark plumbing) — and audio real PCM
+    WAVs (decodable by the production kernels); video payloads stay
+    opaque bytes (no dependency-free container format — its decode is
+    the disclosed stub)."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -243,7 +395,7 @@ def synthetic_media(spark, n: int = 32, real_payloads: bool = True) -> DataFrame
                 [(yy * (i + 1)) % 256, (xx * (i + 2)) % 256, (yy + xx + i) % 256],
                 axis=2,
             ).astype(np.uint8)
-            payload = encode_ppm(img)
+            payload = encode_png(img, filter_type=i % 5) if (i // 3) % 2 else encode_ppm(img)
         elif real_payloads and kind == "audio":
             t = np.arange(2800, dtype=np.float32) / 8000.0
             payload = encode_wav(0.5 * np.sin(2 * np.pi * (200 + 40 * i) * t))
