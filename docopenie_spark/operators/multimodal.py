@@ -309,19 +309,27 @@ def encode_ppm(img: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
 
 
-def encode_png(img: np.ndarray, filter_type: int = 0) -> bytes:
+def encode_png(img: np.ndarray, filter_type=0) -> bytes:
     """(H, W, 3) uint8 RGB → PNG bytes (the test-side encoder, stdlib
     zlib + crc). ``filter_type`` applies that scanline filter to every
-    row so tests can exercise each decoder unfilter path (0-4)."""
+    row — or, given a sequence of length H, per row (real encoders mix
+    filters per scanline) — so tests can exercise each decoder unfilter
+    path (0-4) and their row-to-row chaining."""
     import zlib
 
     h, w = img.shape[:2]
     img = img.astype(np.uint8)
     ch = 3
+    per_row = (
+        list(filter_type) if hasattr(filter_type, "__len__") else [filter_type] * h
+    )
+    if len(per_row) != h:
+        raise ValueError("filter_type sequence must have one entry per row")
     lines = []
     prev = np.zeros(w * ch, dtype=np.int32)
     for y in range(h):
         row = img[y].reshape(-1).astype(np.int32)
+        filter_type = per_row[y]
         if filter_type == 0:
             enc = row
         elif filter_type == 1:

@@ -243,3 +243,28 @@ def test_png_flows_through_spark_features(spark):
     for mid, p in payloads.items():
         want = multimodal.image_features(multimodal.decode_image(p), 16)
         assert np.allclose(got[mid], want)
+
+
+def test_png_roundtrip_fuzz_mixed_filters():
+    """Hypothesis fuzz over the PNG kernel: random image content, random
+    dimensions, and a random PER-ROW filter choice (real encoders mix
+    filters per scanline — this exercises row-to-row unfilter chaining,
+    e.g. Paeth reading an Up-filtered previous row). decode∘encode must
+    be the identity everywhere."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=1, max_value=12),
+        st.integers(min_value=0, max_value=2**32 - 1),
+        st.lists(st.integers(min_value=0, max_value=4), min_size=12, max_size=12),
+    )
+    @settings(max_examples=150, deadline=None)
+    def check(h, w, seed, filters):
+        rng = np.random.RandomState(seed % 2**31)
+        img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        payload = multimodal.encode_png(img, filter_type=filters[:h])
+        assert np.array_equal(multimodal.decode_image(payload), img)
+
+    check()
