@@ -39,9 +39,13 @@ import time
 HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, HERE)
 os.environ.update({
-    "SCALING_MODE": "executors", "SCALING_TURNS": "16000000",
+    "SCALING_MODE": "executors",
     "SPARK_LOCAL_DIRS": "/dev/shm/spark", "SPARK_LOCALITY_WAIT": "0",
 })
+# ledger default 16M; overridable (e.g. SCALING_TURNS=32000000 for the
+# larger-input campaign — a distinct config group, aggregate() never
+# mixes n_turns)
+os.environ.setdefault("SCALING_TURNS", "16000000")
 CAMPAIGN = os.environ.get("SCALING_CAMPAIGN", "gated")
 QUIET_GBS = float(os.environ.get("SCALING_QUIET_GBS", "66"))
 
