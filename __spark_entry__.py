@@ -286,6 +286,20 @@ def _neardup_planted_corpus(spark, sf_dir):
     return emb.unionByName(dups)
 
 
+def _q_windowed_agg(spark, sf_dir):
+    """Event-time tumbling-window aggregation (the batch twin of the
+    watermarked streaming path in streaming/windows.py — Spark's
+    unified semantics make withWatermark a no-op on batch, so this
+    oracles the exact aggregation expression the stream runs). Window
+    boundaries are epoch-aligned 10-minute buckets in both engines
+    (session timezone pinned UTC); DuckDB's time_bucket uses the same
+    alignment for minute-granularity intervals."""
+    from docopenie_spark.streaming.windows import windowed_event_aggregate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_aggregate(ev)
+
+
 def _q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (the brief's remaining
     dedup family member): exact all-pairs cosine ≥ 0.8 over the planted
@@ -1760,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": _q_ngram_jaccard,
         "lsh_recall": _q_lsh_recall,
         "embedding_neardup": _q_embedding_neardup,
+        "windowed_agg": _q_windowed_agg,
         "kg_segmentation": _q_kg_segmentation,
         "kg_ner_spans": _q_kg_ner_spans,
         "kg_extraction": _q_kg_extraction,
@@ -1966,6 +1981,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_id, vec_id + 1000000 AS match_id,
                    1.0 AS cosine
             FROM embeddings WHERE vec_id % 11 = 0
+        """,
+        # Batch twin of the watermarked streaming window agg: DuckDB's
+        # time_bucket and Spark's window() both align minute-granularity
+        # tumbling windows to epoch multiples (session tz pinned UTC).
+        "windowed_agg": """
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+                   time_bucket(INTERVAL '10 minutes', ts)
+                     + INTERVAL '10 minutes' AS win_end,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events
+            GROUP BY 1, 2, 3
         """,
         # Embedding-cosine near-dup: the identical plantation (every 7th
         # vector perturbed element-wise by 1 + 0.1*((vec_id+i)%5 - 2))

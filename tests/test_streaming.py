@@ -137,3 +137,63 @@ def test_stateful_streaming_extract_matches_batch(spark, tmp_path):
     assert got.exceptAll(batch).isEmpty(), "streaming ⊄ batch"
     assert batch.exceptAll(got).isEmpty(), "batch ⊄ streaming"
     assert got.count() == batch.count() > 0
+
+
+def _mk_events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, event_type string, value double"
+    )
+
+
+def test_windowed_stream_equals_batch_and_drops_late(spark, tmp_path):
+    """Watermarked tumbling-window agg (streaming/windows.py): the
+    availableNow stream's append-mode output must equal the batch twin
+    over the on-time rows — and a late row arriving after its window
+    was finalized (watermark passed window end) is DROPPED, never a
+    duplicate or an update.
+
+    File layout drives the watermark deterministically: one file per
+    micro-batch (maxFilesPerTrigger=1, lexicographic arrival), the last
+    on-time file is a far-future sentinel whose only job is to push the
+    watermark past every real window's end so append mode emits them."""
+    import datetime as dt
+
+    from docopenie_spark.streaming.windows import (
+        stream_windowed_events, windowed_event_aggregate,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    main = [
+        (i, t0 + dt.timedelta(minutes=m, seconds=13), k, 1.5 * (i + 1))
+        for i, (m, k) in enumerate(
+            [(0, "click"), (4, "view"), (9, "click"), (12, "view"),
+             (17, "click"), (23, "error"), (29, "view"), (31, "click")]
+        )
+    ]
+    sentinel = [(99, t0 + dt.timedelta(hours=6), "click", 0.0)]
+    src, out, chk = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "chk")
+    schema = _mk_events(spark, main).schema
+    _mk_events(spark, main).coalesce(1).write.parquet(src + "/f=0")
+    _mk_events(spark, sentinel).coalesce(1).write.parquet(src + "/f=1")
+    # parquet dir-as-file-source: point the stream at the glob of parts
+    stream_windowed_events(
+        spark, src + "/f=*", out, chk, schema, max_files_per_trigger=1
+    )
+    got = spark.read.parquet(out)
+    want = windowed_event_aggregate(_mk_events(spark, main))
+    assert got.exceptAll(want).isEmpty(), "stream emitted rows batch would not"
+    assert want.exceptAll(got).isEmpty(), "stream missed finalized windows"
+    n_before = got.count()
+    assert n_before == want.count() > 0
+
+    # late arrival: inside the (already finalized) first window, but the
+    # watermark (6h - 30min) is far past it -> dropped on the second run
+    _mk_events(
+        spark, [(100, t0 + dt.timedelta(minutes=1), "click", 1000.0)]
+    ).coalesce(1).write.parquet(src + "/f=2")
+    stream_windowed_events(
+        spark, src + "/f=*", out, chk, schema, max_files_per_trigger=1
+    )
+    after = spark.read.parquet(out)
+    assert after.count() == n_before, "late row must be dropped, not appended"
+    assert after.exceptAll(want).isEmpty() and want.exceptAll(after).isEmpty()
