@@ -264,6 +264,29 @@ def _q_lsh_recall(spark, sf_dir):
     )
 
 
+def _q_ivf_recall(spark, sf_dir):
+    """IVF-bucketed ANN end-to-end recall check (the brief's IVF
+    variant, mirroring lsh_recall's construction): every 13th vector is
+    planted again under a shifted id. An EXACT duplicate shares its
+    original's argmin centroid cell by construction — identical vector,
+    identical distance expression — so with n_probe >= 1 the probe join
+    always surfaces it and top-1 must be the planted duplicate at
+    cosine 1.0, regardless of where k-means puts the centroids.
+    Deterministic, like lsh_recall; the approximate part (cross-cell
+    neighbors needing n_probe > 1) is pytest-covered."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dups = emb.where(F.col("vec_id") % 13 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(2000000)
+    )
+    corpus = emb.unionByName(dups)
+    queries_df = emb.where(F.col("vec_id") % 13 == 0)
+    out = similarity.ivf_topk(corpus, queries_df, k=1)
+    return out.select(
+        "query_id", F.col("vec_id").alias("match_id"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 def _neardup_planted_corpus(spark, sf_dir):
     """Embeddings plus deterministic PERTURBED copies of every 7th
     vector (vec_id + 1000000): element i is scaled by
@@ -1775,6 +1798,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_recall": _q_lsh_recall,
         "embedding_neardup": _q_embedding_neardup,
         "windowed_agg": _q_windowed_agg,
+        "ivf_recall": _q_ivf_recall,
         "kg_segmentation": _q_kg_segmentation,
         "kg_ner_spans": _q_kg_ner_spans,
         "kg_extraction": _q_kg_extraction,
@@ -1981,6 +2005,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id AS query_id, vec_id + 1000000 AS match_id,
                    1.0 AS cosine
             FROM embeddings WHERE vec_id % 11 = 0
+        """,
+        # IVF ANN: planted exact duplicates share the original's argmin
+        # cell, so top-1 recall is guaranteed by construction (the same
+        # closed form as lsh_recall, different plantation stride).
+        "ivf_recall": """
+            SELECT vec_id AS query_id, vec_id + 2000000 AS match_id,
+                   1.0 AS cosine
+            FROM embeddings WHERE vec_id % 13 = 0
         """,
         # Batch twin of the watermarked streaming window agg: DuckDB's
         # time_bucket and Spark's window() both align minute-granularity

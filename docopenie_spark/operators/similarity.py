@@ -104,6 +104,106 @@ def hyperplane_signature(vec_col, dims: int, planes: int = 16, table: int = 0):
     return out
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 7,
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """IVF coarse quantizer: k-means centroids (pyspark.ml, seeded),
+    returned as plain lists — the 'model constant' ivf_topk embeds as
+    literals (like the LSH hyperplanes). Training is the only iterative
+    part and runs once; at corpus scale fit on a sample
+    (``sample_fraction``) — cell assignment quality degrades gracefully,
+    the index stays exact-verified downstream."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    src = corpus if sample_fraction is None else corpus.sample(
+        fraction=sample_fraction, seed=seed
+    )
+    vecs = src.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=20).fit(vecs)
+    return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def _centroid_dists(vec_col, centroids: list[list[float]]):
+    """Array of squared-L2 distances to every centroid — pure JVM
+    expressions over literal centroid arrays."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    dists = []
+    for c in centroids:
+        cl = F.array(*[F.lit(x) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(v, cl, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, d: acc + d,
+            )
+        )
+    return F.array(*dists)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF-bucketed approximate cosine top-k (the brief's 'IVF variant'
+    alongside the hyperplane-LSH path): corpus rows live in their
+    nearest-centroid cell, queries probe their ``n_probe`` nearest
+    cells, candidates get the exact cosine and a per-query top-k window.
+
+    Scale shape mirrors lsh_topk: one corpus scan computes the cell id
+    (centroid literals — no model object on the executors), the probe
+    join keys on the cell id with the small query side broadcast, and
+    only candidates pay the exact cosine. Recall lever: ``n_probe``
+    (a query whose true neighbor sits across a cell boundary needs the
+    second-nearest cell — the standard IVF trade). An EXACT duplicate
+    of a query vector always shares its argmin cell, so planted-dup
+    recall is guaranteed, not probabilistic — the oracle leans on that,
+    exactly like lsh_recall."""
+    if centroids is None:
+        centroids = kmeans_centroids(corpus, n_centroids, vec_col)
+    dv = _centroid_dists(F.col(vec_col).cast("array<double>"), centroids)
+    cell = (F.array_position(dv, F.array_min(dv)) - 1).cast("int")
+    c = with_norm(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+        F.col("_norm").alias("_cn"),
+        cell.alias("cell"),
+    )
+    ranked = F.slice(
+        F.array_sort(
+            F.transform(dv, lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+        ),
+        1,
+        n_probe,
+    )
+    q = with_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+        F.col("_norm").alias("_qn"),
+        F.explode(F.transform(ranked, lambda s: s["i"].cast("int"))).alias("cell"),
+    )
+    j = c.join(F.broadcast(q), ["cell"]).where(F.col("vec_id") != F.col("query_id"))
+    cos = _dot(F.col("_cv"), F.col("_qv")) / (F.col("_cn") * F.col("_qn"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        j.select("query_id", "vec_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
 def cosine_neardup_pairs(
     corpus: DataFrame,
     threshold: float,

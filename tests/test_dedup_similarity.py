@@ -169,3 +169,45 @@ def test_cosine_neardup_lsh_precision_and_recall(spark):
             for r in similarity.cosine_neardup_lsh(corpus, 0.8, dims=64).collect()}
     assert dflt <= exact
     assert len(dflt) / len(exact) >= 0.7
+
+
+def test_ivf_topk_recalls_planted_duplicate(spark):
+    """IVF ANN: an exact duplicate shares its original's argmin centroid
+    cell (identical vector → identical distance expression), so top-1 is
+    the planted duplicate at cosine 1.0 with ANY centroid outcome."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dups = emb.where(F.col("vec_id") % 13 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(2000000)
+    )
+    out = similarity.ivf_topk(
+        emb.unionByName(dups), emb.where(F.col("vec_id") % 13 == 0), k=1
+    ).collect()
+    assert len(out) == 39
+    assert all(r.vec_id == r.query_id + 2000000 for r in out)
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in out)
+
+
+def test_ivf_topk_precision_and_probe_lever(spark):
+    """Every IVF candidate carries the EXACT cosine (emitted rows agree
+    with brute force wherever they overlap), and raising n_probe
+    monotonically grows the candidate set — the standard IVF recall
+    lever. With n_probe = n_centroids every cell is probed, so the
+    result IS brute force."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 50 == 0)
+    cents = similarity.kmeans_centroids(emb, n_centroids=8)
+    exact = {(r.query_id, r.vec_id): r.cosine
+             for r in similarity.brute_force_topk(emb, qs, k=5).collect()}
+    got_sizes = []
+    for probe in (1, 2, 8):
+        rows = similarity.ivf_topk(
+            emb, qs, k=5, n_centroids=8, n_probe=probe, centroids=cents
+        ).collect()
+        got_sizes.append(len(rows))
+        for r in rows:
+            if (r.query_id, r.vec_id) in exact:
+                assert abs(r.cosine - exact[(r.query_id, r.vec_id)]) < 1e-9
+    assert got_sizes[0] <= got_sizes[1] <= got_sizes[2]
+    full = {(r.query_id, r.vec_id) for r in similarity.ivf_topk(
+        emb, qs, k=5, n_centroids=8, n_probe=8, centroids=cents).collect()}
+    assert full == set(exact)

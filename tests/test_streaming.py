@@ -197,3 +197,17 @@ def test_windowed_stream_equals_batch_and_drops_late(spark, tmp_path):
     after = spark.read.parquet(out)
     assert after.count() == n_before, "late row must be dropped, not appended"
     assert after.exceptAll(want).isEmpty() and want.exceptAll(after).isEmpty()
+
+
+def test_windowed_agg_plan_shape(spark):
+    """The windowed aggregation must be the plan Spark should pick at
+    100 TB: map-side partial aggregation before ONE shuffle on
+    (window, key), no Python stage anywhere."""
+    import __spark_entry__ as entry
+
+    df = entry.queries()["windowed_agg"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or "partial" in plan.lower()
+    assert plan.count("Exchange") == 1
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "PythonUDF"):
+        assert marker not in plan, marker
