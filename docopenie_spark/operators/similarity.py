@@ -165,7 +165,11 @@ def ivf_topk(
     Scale shape mirrors lsh_topk: one corpus scan computes the cell id
     (centroid literals — no model object on the executors), the probe
     join keys on the cell id with the small query side broadcast, and
-    only candidates pay the exact cosine. Recall lever: ``n_probe``
+    only candidates pay the exact cosine. For very large quantizers
+    (n_centroids × dims ≳ 10^6 literals would bloat codegen) ship the
+    centroids as a broadcast table and compute the argmin via a
+    distance-join + min_by instead — cell semantics identical, same
+    caveat as the LSH hyperplane weights. Recall lever: ``n_probe``
     (a query whose true neighbor sits across a cell boundary needs the
     second-nearest cell — the standard IVF trade). An EXACT duplicate
     of a query vector always shares its argmin cell, so planted-dup
