@@ -45,6 +45,27 @@ from docopenie_spark.session import get_spark  # noqa: E402
 TURNS_PER_DOC = 8
 
 
+def _host_canary() -> float | None:
+    """Memory-bandwidth reading (GB/s) from tools/host_canary.py —
+    recorded in EVERY bench artifact (VERDICT r5 'what's wrong' #3: two
+    recordings of identical code differed 1.37× purely on host weather;
+    a bench number without its canary context is not comparable across
+    rounds). Untimed — runs outside the suite clock. None if the probe
+    fails (the number is then explicitly context-free)."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tools", "host_canary.py")],
+            capture_output=True, text=True, timeout=120,
+        )
+        return float(out.stdout.strip())
+    except Exception:
+        return None
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -143,9 +164,11 @@ def main():
 
     # interleaved repeats: the whole suite round-robin, so a noisy host
     # window hits every query a little instead of one query fully
+    canary_before = _host_canary()
     for _rep in range(repeats):
         for name, fn in suite:
             timed(name, fn)
+    canary_after = _host_canary()
 
     timings = {name: round(statistics.median(w), 3) for name, w in raw.items()}
     extras["n_turns"] = n_turns
@@ -164,6 +187,8 @@ def main():
                 "cpus": cpus,
                 "repeats": repeats,
                 "queries_raw": raw,
+                "canary_before_gbs": canary_before,
+                "canary_after_gbs": canary_after,
                 **extras,
             }
         )

@@ -120,6 +120,10 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 6: 4}  # gray, RGB, palette, RGBA
+# decode cap: 64 MP ≈ 192 MB decoded RGB — rejects absurd declared
+# dimensions before any allocation AND bounds worst-case sequential-
+# filter (Average/Paeth) decode time per blob.
+_PNG_MAX_PIXELS = 64_000_000
 
 
 def _decode_png(payload: bytes) -> np.ndarray:
@@ -160,16 +164,34 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if interlace != 0:
         raise NotImplementedError("PNG Adam7 interlace")
     ch = _PNG_CHANNELS[ctype]
+    # Size gate BEFORE any inflation (ADVICE r5): a tiny crafted payload
+    # (zlib bomb, or a huge declared IHDR) must not allocate gigabytes
+    # on an executor before a length check fires. The expected pixel
+    # byte count is closed-form from IHDR; inflate with a hard output
+    # cap so an oversized stream fails at expected+1 bytes, not at its
+    # full decompressed size.
+    if w <= 0 or h <= 0 or w * h > _PNG_MAX_PIXELS:
+        raise ValueError(f"PNG dimensions {w}x{h} outside decode bounds")
+    stride = w * ch
+    expected = h * (stride + 1)
+    dec = zlib.decompressobj()
     try:
-        raw = zlib.decompress(b"".join(idat))
+        raw = dec.decompress(b"".join(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"corrupt PNG IDAT: {e}")
-    stride = w * ch
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expected or dec.unconsumed_tail or not dec.eof:
         raise ValueError("PNG pixel data length mismatch")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), dtype=np.uint8)
-    for y in range(h):  # filters chain row-to-row; columns stay vectorized
+    # Filters chain row-to-row, so rows decode sequentially. WITHIN a
+    # row: None/Up are fully vectorized, Sub is a vectorized per-lane
+    # prefix sum; Average/Paeth have a true left-to-right dependency on
+    # the just-decoded left pixel, so they step PIXEL-wise (w steps of
+    # ch-wide numpy ops — not per-byte; full vectorization is
+    # impossible for these two filters, the recurrence is inherently
+    # sequential). The _PNG_MAX_PIXELS gate above bounds worst-case
+    # Paeth-heavy decode time.
+    for y in range(h):
         f, row = raw[y, 0], raw[y, 1:].astype(np.int32)
         up = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
         if f == 0:
@@ -180,18 +202,25 @@ def _decode_png(payload: bytes) -> np.ndarray:
             cur = np.empty(stride, dtype=np.int32)
             for k in range(ch):
                 cur[k::ch] = np.cumsum(row[k::ch]) & 0xFF
-        elif f in (3, 4):  # Average/Paeth: true left-to-right dependency
+        elif f in (3, 4):  # Average/Paeth: pixel-stepped, ch-wide lanes
             cur = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = cur[x - ch] if x >= ch else 0
-                b = up[x]
+            upl = np.concatenate([np.zeros(ch, dtype=np.int32), up[:-ch]])
+            a = np.zeros(ch, dtype=np.int32)
+            for x0 in range(0, stride, ch):
+                sl = slice(x0, x0 + ch)
+                b = up[sl]
                 if f == 3:
                     pred = (a + b) >> 1
                 else:
-                    c = up[x - ch] if x >= ch else 0
-                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
-                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
-                cur[x] = (row[x] + pred) & 0xFF
+                    c = upl[sl]
+                    pa = np.abs(b - c)
+                    pb = np.abs(a - c)
+                    pc = np.abs(a + b - 2 * c)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+                    )
+                a = (row[sl] + pred) & 0xFF
+                cur[sl] = a
         else:
             raise ValueError(f"PNG filter byte {f}")
         out[y] = cur

