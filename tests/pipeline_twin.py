@@ -427,6 +427,92 @@ def _substituted_triples(triples_raw, display_bems):
     return out
 
 
+# ------------------------------------------------------ classifier U1
+
+def _bem_index_key(b):
+    """with_bem_index's window order (nulls first, Spark ASC default)."""
+    t = b["target"]
+
+    def off(e):
+        return (0,) if e is None else (1, e["offset"])
+
+    return (t["offset"], b["kind"], b["best_mention"], t["text"],
+            t["entity_type"], b["candidate_count"], off(b["best_entity"]),
+            off(b["container_entity"]), off(b["contained_entity"]))
+
+
+def _bem_features(bems_x, clusters, gazetteer_rows):
+    """The 13-feature build (classifier.bem_features) imperatively:
+    per-conversation stable index, gazetteer-kind predicates, and the
+    coref-cluster-agreement containment lookups."""
+    gaz = Gazetteer(gazetteer_rows)
+    cl_by_conv = defaultdict(list)
+    for c in clusters:
+        cl_by_conv[c["conv_id"]].append(c)
+
+    def span_clusters(conv_id, off, length):
+        return {
+            c["cluster_id"]
+            for c in cl_by_conv[conv_id]
+            if any(m["offset"] >= off
+                   and m["offset"] + len(m["text"]) <= off + length
+                   for m in c["mentions"])
+        }
+
+    by_conv = defaultdict(list)
+    for b in bems_x:
+        by_conv[b["conv_id"]].append(b)
+    out = []
+    for conv_id, rows in by_conv.items():
+        rows.sort(key=_bem_index_key)
+        for i, b in enumerate(rows):
+            t_lc = b["target"]["text"].lower()
+            ce = b["container_entity"]
+            c_lc = ce["text"].lower() if ce is not None else None
+            city_t, state_t, country_t = (
+                t_lc in gaz.cities, t_lc in gaz.states, t_lc in gaz.countries
+            )
+            city_c = c_lc in gaz.cities if c_lc is not None else False
+            state_c = c_lc in gaz.states if c_lc is not None else False
+            country_c = c_lc in gaz.countries if c_lc is not None else False
+            agree = 0.0
+            if b["best_entity"] is not None:
+                tc = span_clusters(conv_id, b["target"]["offset"],
+                                   len(b["target"]["text"]))
+                bc = span_clusters(conv_id, b["best_entity"]["offset"],
+                                   len(b["best_entity"]["text"]))
+                agree = 1.0 if tc & bc else (-1.0 if bc else 0.0)
+            typ, kind = b["target"]["entity_type"], b["kind"]
+            out.append({
+                **b, "bem_index": i,
+                "f_is_organization_rule": float(typ == "ORGANIZATION"),
+                "f_is_location_rule": float(typ == "LOCATION"),
+                "f_is_person_rule": float(typ == "PERSON"),
+                "f_is_other_rule": float(typ == "OTHER"),
+                "f_is_coref": float(kind.startswith("coref")),
+                "f_is_linked": float(kind == "coref_link"),
+                "f_is_coref_identity": float(kind == "coref_identity"),
+                "f_ambiguous_candidate_count": b["candidate_count"],
+                "f_coref_cluster_agrees": agree,
+                "f_location_ambiguity_count": (
+                    float(city_t) + float(state_t) + float(country_t)
+                    if ce is not None else 0.0
+                ),
+                "f_state_contains_city": (
+                    float(city_t and state_c) if ce is not None else 0.0
+                ),
+                "f_country_contains_city": (
+                    float(city_t and country_c) if ce is not None else 0.0
+                ),
+                "f_loc_type_similarity": (
+                    float(city_t and city_c) + float(state_t and state_c)
+                    + float(country_t and country_c)
+                    if ce is not None else 0.0
+                ),
+            })
+    return out
+
+
 # -------------------------------------------------------------- eval diff
 
 def _eval_diff(base_triples, comp_triples, sentences):

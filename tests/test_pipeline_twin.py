@@ -140,6 +140,24 @@ def test_baseline_triples_match(runs):
                   _TRIPLE_KEYS)
 
 
+def test_bem_features_match(runs, spark):
+    """U1 on the real corpus: the 13-feature build + stable bem_index
+    (kg_bem_features' composition) against the imperative twin."""
+    from docopenie_spark.operators import classifier
+    from pipeline_twin import _bem_features
+
+    comp, _, twin, _ = runs
+    feats = classifier.bem_features(
+        comp.best_mentions_expanded, comp.clusters, datagen.gazetteer_rows()
+    )
+    twin_feats = _bem_features(
+        twin["best_mentions_expanded"], twin["clusters"], datagen.gazetteer_rows()
+    )
+    keys = ["conv_id", "bem_index", "kind", "target", "best_mention",
+            *classifier.FEATURE_COLS]
+    _assert_stage("bem_features", feats, twin_feats, keys)
+
+
 def test_eval_diff_matches(runs):
     comp, base, twin, twin_base = runs
     spark_diff = eval_diff(base.triples, comp.triples, comp.sentences)
