@@ -264,6 +264,29 @@ def _q_lsh_recall(spark, sf_dir):
     )
 
 
+def _q_lsh_recall_broadcast(spark, sf_dir):
+    """lsh_recall through the BROADCAST weights-row backend (the
+    high-dims path: hyperplane matrices attach as a broadcast column
+    instead of codegen literals — similarity.weights_row). The wmat
+    row carries the SAME crc32 matrices, and the projection expressions
+    share op order, so buckets are bit-identical across backends
+    (parity-pinned) and the planted exact duplicate still collides in
+    every table — same closed-form oracle."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dups = emb.where(F.col("vec_id") % 11 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1000000)
+    )
+    corpus = emb.unionByName(dups)
+    queries_df = emb.where(F.col("vec_id") % 11 == 0)
+    dims = len(emb.select("embedding").head()[0])
+    out = similarity.lsh_topk(corpus, queries_df, dims=dims, k=1,
+                              weights="broadcast")
+    return out.select(
+        "query_id", F.col("vec_id").alias("match_id"),
+        F.round("cosine", 4).alias("cosine"),
+    )
+
+
 def _q_ivf_recall(spark, sf_dir):
     """IVF-bucketed ANN end-to-end recall check (the brief's IVF
     variant, mirroring lsh_recall's construction): every 13th vector is
@@ -1960,6 +1983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "embedding_neardup_lsh": _q_embedding_neardup_lsh,
         "windowed_agg": _q_windowed_agg,
+        "lsh_recall_broadcast": _q_lsh_recall_broadcast,
         "ivf_recall": _q_ivf_recall,
         "ivf_recall_broadcast": _q_ivf_recall_broadcast,
         "kg_segmentation": _q_kg_segmentation,
@@ -2166,6 +2190,14 @@ def oracle_sql() -> dict[str, str]:
                   / len(list_distinct(list_concat(a.g, b.g))) >= 0.5
         """,
         "lsh_recall": """
+            SELECT vec_id AS query_id, vec_id + 1000000 AS match_id,
+                   1.0 AS cosine
+            FROM embeddings WHERE vec_id % 11 = 0
+        """,
+        # identical closed form for the broadcast weights-row backend:
+        # buckets are bit-identical across backends (parity-pinned), so
+        # the planted duplicate still collides in every table
+        "lsh_recall_broadcast": """
             SELECT vec_id AS query_id, vec_id + 1000000 AS match_id,
                    1.0 AS cosine
             FROM embeddings WHERE vec_id % 11 = 0

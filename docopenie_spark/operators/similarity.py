@@ -84,9 +84,11 @@ def _plane_weights(dims: int, planes: int, table: int = 0) -> list[list[float]]:
 def hyperplane_signature(vec_col, dims: int, planes: int = 16, table: int = 0):
     """Deterministic random-hyperplane bit signature as a JVM expression.
     Weights are embedded as literal arrays (driver-computed constants);
-    for very high dims (≳4k) ship them as a broadcast weights table and
-    join instead — the bucket semantics are identical. ``table`` selects
-    an independent hash table for OR-ed multi-table probing.
+    for very high dims (≳4k total embedded doubles over the codegen
+    budget) the LSH entry points switch to the broadcast weights-table
+    backend (:func:`weights_row` / ``weights="broadcast"``) — identical
+    bucket semantics, parity-pinned. ``table`` selects an independent
+    hash table for OR-ed multi-table probing.
     """
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
     bits = []
@@ -102,6 +104,66 @@ def hyperplane_signature(vec_col, dims: int, planes: int = 16, table: int = 0):
     for b in bits[1:]:
         out = out + b
     return out
+
+
+# literal-weights codegen budget for the hyperplane backends: above
+# this many embedded doubles ((tables*planes + refine_planes) × dims)
+# the per-row signature expressions would bloat the generated code;
+# weights="auto" switches to the broadcast weights-row backend (the
+# same budget rationale as LITERAL_QUANTIZER_MAX below).
+LITERAL_WEIGHTS_MAX = 200_000
+
+
+def _use_broadcast_weights(dims: int, planes: int, tables: int,
+                           refine_planes: int, weights: str) -> bool:
+    if weights not in ("auto", "literal", "broadcast"):
+        raise ValueError(f"unknown weights mode {weights!r}")
+    if weights != "auto":
+        return weights == "broadcast"
+    return (tables * planes + refine_planes) * dims > LITERAL_WEIGHTS_MAX
+
+
+def weights_row(spark, dims: int, planes: int, tables: int,
+                refine_planes: int = 0) -> DataFrame:
+    """The hyperplane model as ONE broadcastable row — ``wmat`` is
+    array<table><plane><dim> of the SAME crc32-derived weights the
+    literal backend embeds (:func:`_plane_weights`), with the
+    refinement matrix (table index = ``tables``) appended when the
+    hot-bucket guard needs a secondary signature. A crossJoin against
+    this broadcast row attaches the model as a column with NO exchange
+    and no codegen blowup — signatures are computed by higher-order
+    functions over the column, and every caller drops ``wmat`` in its
+    projection before anything shuffles."""
+    mats = [_plane_weights(dims, planes, t) for t in range(tables)]
+    if refine_planes:
+        mats.append(_plane_weights(dims, refine_planes, tables))
+    return spark.createDataFrame(
+        [(mats,)], "wmat array<array<array<double>>>"
+    )
+
+
+def _signature_from_wmat(vec_col, table_idx: int):
+    """Bit signature from the broadcast ``wmat`` column — bit p is
+    2^p exactly as in :func:`hyperplane_signature`, and the projection
+    sum uses the same zip_with + 0.0-seeded aggregate op order, so the
+    sign decisions (hence buckets) are bit-identical across backends."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    planes_arr = F.col("wmat")[table_idx]
+    bits = F.transform(
+        planes_arr,
+        lambda w, i: F.when(
+            F.aggregate(
+                F.zip_with(v, w, lambda x, wv: x * wv),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            >= 0,
+            # bit p = 2^p (shiftleft needs a literal shift count; the
+            # double pow is exact far past any sane plane count)
+            F.pow(F.lit(2.0), i).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda acc, b: acc + b)
 
 
 def kmeans_centroids(
@@ -366,6 +428,7 @@ def _sig_rows(
     vec_col: str,
     id_col: str,
     refine_planes: int = 0,
+    weights: str = "auto",
 ) -> DataFrame:
     """One corpus scan → slim (table, bucket[, refined], _id) rows.
     Signatures are computed IN the scan projection; the vector column is
@@ -375,16 +438,29 @@ def _sig_rows(
     vec, norm) and self-joined on the bucket, shipping ``tables`` full
     copies of the vector corpus through the candidate exchange).
     ``refine_planes`` adds ONE extra table-independent signature used to
-    split hot buckets (see :func:`_guarded_sig_rows`)."""
+    split hot buckets (see :func:`_guarded_sig_rows`). ``weights``
+    picks the signature backend (literal expressions vs the broadcast
+    weights row; "auto" switches on ``LITERAL_WEIGHTS_MAX``) — both
+    produce bit-identical buckets and neither lets the model or the
+    vectors reach a shuffle."""
     v = F.col(vec_col).cast("array<double>")
-    sigs = F.array(
-        *[hyperplane_signature(v, dims, planes, t) for t in range(tables)]
-    )
+    if _use_broadcast_weights(dims, planes, tables, refine_planes, weights):
+        corpus = corpus.crossJoin(F.broadcast(weights_row(
+            corpus.sparkSession, dims, planes, tables, refine_planes
+        )))
+        sigs = F.array(*[_signature_from_wmat(v, t) for t in range(tables)])
+        refined = _signature_from_wmat(v, tables) if refine_planes else None
+    else:
+        sigs = F.array(
+            *[hyperplane_signature(v, dims, planes, t) for t in range(tables)]
+        )
+        refined = (
+            hyperplane_signature(v, dims, refine_planes, tables)
+            if refine_planes else None
+        )
     cols = [F.col(id_col).alias("_id")]
     if refine_planes:
-        cols.append(
-            hyperplane_signature(v, dims, refine_planes, tables).alias("refined")
-        )
+        cols.append(refined.alias("refined"))
     return corpus.select(*cols, F.posexplode(sigs).alias("table", "bucket"))
 
 
@@ -416,6 +492,7 @@ def lsh_candidate_pairs(
     id_col: str = "vec_id",
     max_bucket_size: int | None = None,
     refine_planes: int = 6,
+    weights: str = "auto",
 ) -> DataFrame:
     """Deduped candidate (id_a, id_b) pairs colliding in ≥1 hyperplane
     table. The ENTIRE plan is vector-free past the scan: the self-join
@@ -430,7 +507,8 @@ def lsh_candidate_pairs(
     degrades gracefully, and the drops are enumerable via
     :func:`lsh_dropped_buckets` (same deterministic hyperplanes)."""
     e = _sig_rows(corpus, dims, planes, tables, vec_col, id_col,
-                  refine_planes if max_bucket_size is not None else 0)
+                  refine_planes if max_bucket_size is not None else 0,
+                  weights)
     key = ["table", "bucket"]
     if max_bucket_size is not None:
         e = _guarded_sig_rows(e, max_bucket_size).where(
@@ -456,6 +534,7 @@ def lsh_dropped_buckets(
     id_col: str = "vec_id",
     max_bucket_size: int = 8192,
     refine_planes: int = 6,
+    weights: str = "auto",
 ) -> DataFrame:
     """Disclosure accessor for the hot-bucket guard: the (table, bucket,
     sub, n) groups :func:`lsh_candidate_pairs` excluded at the same
@@ -463,7 +542,8 @@ def lsh_dropped_buckets(
     set, so a scale run can report its recall concession instead of
     silently truncating."""
     e = _guarded_sig_rows(
-        _sig_rows(corpus, dims, planes, tables, vec_col, id_col, refine_planes),
+        _sig_rows(corpus, dims, planes, tables, vec_col, id_col, refine_planes,
+                  weights),
         max_bucket_size,
     )
     return (
@@ -483,6 +563,7 @@ def cosine_neardup_lsh(
     id_col: str = "vec_id",
     max_bucket_size: int | None = 8192,
     refine_planes: int = 6,
+    weights: str = "auto",
 ) -> DataFrame:
     """Scale path for embedding-cosine near-dup: slim candidate pairs
     from :func:`lsh_candidate_pairs` (the bucket self-join and the pair
@@ -501,7 +582,7 @@ def cosine_neardup_lsh(
     :func:`lsh_dropped_buckets`)."""
     cand = lsh_candidate_pairs(
         corpus, dims, planes, tables, vec_col, id_col,
-        max_bucket_size, refine_planes,
+        max_bucket_size, refine_planes, weights,
     )
     vecs = with_norm(corpus, vec_col).select(
         F.col(id_col).alias("_id"),
@@ -532,6 +613,7 @@ def lsh_topk(
     tables: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    weights: str = "auto",
 ) -> DataFrame:
     """Approximate cosine top-k: probe the query's hyperplane bucket in
     ``tables`` independent hash tables (OR-ed — a candidate only needs to
@@ -545,12 +627,17 @@ def lsh_topk(
     only (query_id, vec_id, cosine) — duplicate collisions recompute an
     identical cosine map-side instead of shipping vectors through the
     dedup shuffle (VERDICT r5 #1, the milder lsh_topk form)."""
-    sigs = F.array(
-        *[
-            hyperplane_signature(F.col(vec_col).cast("array<double>"), dims, planes, t)
-            for t in range(tables)
-        ]
-    )
+    v = F.col(vec_col).cast("array<double>")
+    broadcast_w = _use_broadcast_weights(dims, planes, tables, 0, weights)
+    if broadcast_w:
+        wrow = weights_row(corpus.sparkSession, dims, planes, tables)
+        corpus = corpus.crossJoin(F.broadcast(wrow))
+        queries = queries.crossJoin(F.broadcast(wrow))
+        sigs = F.array(*[_signature_from_wmat(v, t) for t in range(tables)])
+    else:
+        sigs = F.array(
+            *[hyperplane_signature(v, dims, planes, t) for t in range(tables)]
+        )
     c = (
         with_norm(corpus, vec_col)
         .select(
