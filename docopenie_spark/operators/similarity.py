@@ -106,12 +106,19 @@ def hyperplane_signature(vec_col, dims: int, planes: int = 16, table: int = 0):
     return out
 
 
-# literal-weights codegen budget for the hyperplane backends: above
-# this many embedded doubles ((tables*planes + refine_planes) × dims)
-# the per-row signature expressions would bloat the generated code;
-# weights="auto" switches to the broadcast weights-row backend (the
-# same budget rationale as LITERAL_QUANTIZER_MAX below).
-LITERAL_WEIGHTS_MAX = 200_000
+# literal-weights budget for the hyperplane backends: above this many
+# embedded doubles ((tables*planes + refine_planes) × dims) weights=
+# "auto" switches to the broadcast weights-row backend. MEASURED, not
+# guessed (round 6, 2k vectors, warmed + interleaved lsh_topk medians):
+# literal vs broadcast = 1.98s vs 1.00s at dims=64 (1.5k literals),
+# 5.2 vs 1.3 at 256, 15.0 vs 1.9 at 1024, 30.9 vs 3.8 at 2048 —
+# Catalyst analysis/codegen of the literal expression tree dominates
+# LONG before the original 200k "codegen budget" estimate, and the
+# broadcast row adds NO exchange (unlike the IVF broadcast quantizer,
+# whose argmin needs a groupBy — its higher LITERAL_QUANTIZER_MAX
+# below reflects that different trade). Identical buckets either way
+# (parity-pinned), so the threshold is pure performance policy.
+LITERAL_WEIGHTS_MAX = 1024
 
 
 def _use_broadcast_weights(dims: int, planes: int, tables: int,

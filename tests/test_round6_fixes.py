@@ -378,10 +378,14 @@ def test_lsh_weights_parity_through_hot_bucket_guard(spark):
 
 
 def test_lsh_auto_weights_switch():
-    assert not similarity._use_broadcast_weights(64, 12, 2, 6, "auto")
-    # (tables*planes + refine) * dims over the budget → broadcast
-    assert similarity._use_broadcast_weights(8192, 12, 2, 6, "auto")
+    # tiny models stay literal (no broadcast row for toy corpora);
+    # (tables*planes + refine) * dims over the MEASURED 1024-double
+    # budget → broadcast (2× faster already at dims=64, see the
+    # LITERAL_WEIGHTS_MAX comment)
+    assert not similarity._use_broadcast_weights(8, 12, 2, 6, "auto")
+    assert similarity._use_broadcast_weights(64, 12, 2, 6, "auto")
     assert similarity._use_broadcast_weights(64, 12, 2, 0, "broadcast")
+    assert not similarity._use_broadcast_weights(8192, 12, 2, 0, "literal")
     with pytest.raises(ValueError):
         similarity._use_broadcast_weights(64, 12, 2, 0, "bogus")
 
