@@ -114,9 +114,9 @@ def hyperplane_signature(vec_col, dims: int, planes: int = 16, table: int = 0):
 # 5.2 vs 1.3 at 256, 15.0 vs 1.9 at 1024, 30.9 vs 3.8 at 2048 —
 # Catalyst analysis/codegen of the literal expression tree dominates
 # LONG before the original 200k "codegen budget" estimate, and the
-# broadcast row adds NO exchange (unlike the IVF broadcast quantizer,
-# whose argmin needs a groupBy — its higher LITERAL_QUANTIZER_MAX
-# below reflects that different trade). Identical buckets either way
+# broadcast row adds NO exchange. The IVF broadcast quantizer pays a
+# real argmin groupBy exchange yet measures the same way (see
+# LITERAL_QUANTIZER_MAX below). Identical buckets either way
 # (parity-pinned), so the threshold is pure performance policy.
 LITERAL_WEIGHTS_MAX = 1024
 
@@ -216,10 +216,14 @@ def _centroid_dists(vec_col, centroids: list[list[float]]):
     return F.array(*dists)
 
 
-# literal-quantizer codegen budget: above this many embedded doubles
-# (n_centroids × dims) the per-row distance array would bloat the
-# generated code; quantizer="auto" switches to the broadcast table.
-LITERAL_QUANTIZER_MAX = 200_000
+# literal-quantizer budget: above this many embedded doubles
+# (n_centroids × dims) quantizer="auto" switches to the broadcast
+# table. Measured like LITERAL_WEIGHTS_MAX (round 6, sf0.01 corpus,
+# warmed interleaved ivf_topk medians, precomputed centroids): literal
+# vs broadcast = 2.4s vs 1.35s at 16×64=1k literals, 10.4 vs 1.5 at
+# 128×64=8k — Catalyst planning of the literal distance array swamps
+# the broadcast path's extra argmin groupBy exchange even at 1k.
+LITERAL_QUANTIZER_MAX = 512
 
 # ivf_topk(centroids=None) trains k-means in the query path; above this
 # row count the fit runs on a deterministic sample of ~this many rows
