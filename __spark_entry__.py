@@ -5,9 +5,14 @@ entry(spark)    — flagship: full KG pipeline (assembly → extraction →
                   seeded transcripts sized from sf0.001 documents.
 queries()       — one entry per implemented operator family (SURVEY.md §2
                   plus the training-data ops); each takes (spark, sf_dir).
-oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query;
-                  NLP stages (T2-T13) are non-SQL-expressible and get the
-                  driver's rows-only check.
+oracle_sql()    — DuckDB-equivalent SQL for every SQL-expressible query.
+                  NLP stages are non-SQL-expressible on free text, but
+                  every one (T2-T13, U1-U3) has a kg_* oracle over an
+                  injection corpus where it provably collapses to a
+                  closed form; only the full-corpus composites over the
+                  seeded templated transcripts stay rows-only, each
+                  backed by the imperative pipeline twin
+                  (tests/pipeline_twin.py) instead.
 """
 
 from __future__ import annotations
