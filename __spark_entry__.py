@@ -248,24 +248,37 @@ def _q_ngram_jaccard(spark, sf_dir):
     )
 
 
-def _q_lsh_recall(spark, sf_dir):
-    """Hyperplane-LSH ANN end-to-end recall check (VERDICT r2 #5):
-    every 11th vector is planted again under a shifted id — an identical
-    vector lands in the SAME bucket of every hash table by construction,
-    so top-1 for each original must be its planted duplicate at cosine
-    1.0. Deterministic: recall of an exact duplicate is guaranteed, not
-    probabilistic."""
+def _planted_recall(spark, sf_dir, stride, shift, run):
+    """Shared plantation for the ANN recall checks: every ``stride``-th
+    vector is planted again under ``vec_id + shift``; ``run(corpus,
+    queries, dims)`` is the backend under test. An EXACT duplicate lands
+    in its original's bucket/cell by construction, so top-1 must be the
+    duplicate at cosine 1.0 — deterministic, one closed-form oracle per
+    plantation regardless of backend."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dups = emb.where(F.col("vec_id") % 11 == 0).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(1000000)
+    dups = emb.where(F.col("vec_id") % stride == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(shift)
     )
     corpus = emb.unionByName(dups)
-    queries_df = emb.where(F.col("vec_id") % 11 == 0)
+    queries_df = emb.where(F.col("vec_id") % stride == 0)
     dims = len(emb.select("embedding").head()[0])
-    out = similarity.lsh_topk(corpus, queries_df, dims=dims, k=1)
+    out = run(corpus, queries_df, dims)
     return out.select(
         "query_id", F.col("vec_id").alias("match_id"),
         F.round("cosine", 4).alias("cosine"),
+    )
+
+
+def _q_lsh_recall(spark, sf_dir):
+    """Hyperplane-LSH ANN end-to-end recall check (VERDICT r2 #5),
+    PINNED to the LITERAL signature backend so both backends keep
+    distinct end-to-end oracle coverage (at dims=64 the auto threshold
+    would otherwise route this and lsh_recall_broadcast through the
+    same broadcast plan)."""
+    return _planted_recall(
+        spark, sf_dir, 11, 1000000,
+        lambda c, q, d: similarity.lsh_topk(c, q, dims=d, k=1,
+                                            weights="literal"),
     )
 
 
@@ -277,41 +290,26 @@ def _q_lsh_recall_broadcast(spark, sf_dir):
     share op order, so buckets are bit-identical across backends
     (parity-pinned) and the planted exact duplicate still collides in
     every table — same closed-form oracle."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dups = emb.where(F.col("vec_id") % 11 == 0).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(1000000)
-    )
-    corpus = emb.unionByName(dups)
-    queries_df = emb.where(F.col("vec_id") % 11 == 0)
-    dims = len(emb.select("embedding").head()[0])
-    out = similarity.lsh_topk(corpus, queries_df, dims=dims, k=1,
-                              weights="broadcast")
-    return out.select(
-        "query_id", F.col("vec_id").alias("match_id"),
-        F.round("cosine", 4).alias("cosine"),
+    return _planted_recall(
+        spark, sf_dir, 11, 1000000,
+        lambda c, q, d: similarity.lsh_topk(c, q, dims=d, k=1,
+                                            weights="broadcast"),
     )
 
 
 def _q_ivf_recall(spark, sf_dir):
     """IVF-bucketed ANN end-to-end recall check (the brief's IVF
-    variant, mirroring lsh_recall's construction): every 13th vector is
-    planted again under a shifted id. An EXACT duplicate shares its
-    original's argmin centroid cell by construction — identical vector,
+    variant, mirroring lsh_recall's construction): an EXACT duplicate
+    shares its original's argmin centroid cell — identical vector,
     identical distance expression — so with n_probe >= 1 the probe join
     always surfaces it and top-1 must be the planted duplicate at
     cosine 1.0, regardless of where k-means puts the centroids.
-    Deterministic, like lsh_recall; the approximate part (cross-cell
-    neighbors needing n_probe > 1) is pytest-covered."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dups = emb.where(F.col("vec_id") % 13 == 0).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(2000000)
-    )
-    corpus = emb.unionByName(dups)
-    queries_df = emb.where(F.col("vec_id") % 13 == 0)
-    out = similarity.ivf_topk(corpus, queries_df, k=1)
-    return out.select(
-        "query_id", F.col("vec_id").alias("match_id"),
-        F.round("cosine", 4).alias("cosine"),
+    PINNED to the LITERAL quantizer (same two-backend-coverage argument
+    as lsh_recall); the approximate part (cross-cell neighbors needing
+    n_probe > 1) is pytest-covered."""
+    return _planted_recall(
+        spark, sf_dir, 13, 2000000,
+        lambda c, q, d: similarity.ivf_topk(c, q, k=1, quantizer="literal"),
     )
 
 
@@ -323,16 +321,9 @@ def _q_ivf_recall_broadcast(spark, sf_dir):
     cell (same distance expression, same lowest-distance/lowest-cell
     tie order across backends — pinned by the parity test), so top-1
     recall stays deterministic."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dups = emb.where(F.col("vec_id") % 13 == 0).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(2000000)
-    )
-    corpus = emb.unionByName(dups)
-    queries_df = emb.where(F.col("vec_id") % 13 == 0)
-    out = similarity.ivf_topk(corpus, queries_df, k=1, quantizer="broadcast")
-    return out.select(
-        "query_id", F.col("vec_id").alias("match_id"),
-        F.round("cosine", 4).alias("cosine"),
+    return _planted_recall(
+        spark, sf_dir, 13, 2000000,
+        lambda c, q, d: similarity.ivf_topk(c, q, k=1, quantizer="broadcast"),
     )
 
 
@@ -428,8 +419,10 @@ def _q_embedding_neardup_lsh(spark, sf_dir):
     verified with the exact cosine), and at (planes=8, tables=4) recall
     over the planted corpus is deterministically 1.0 — driver-constant
     crc32 hyperplanes on a fixed corpus make recall a constant, measured
-    1.0 at sf0.001 AND sf0.01 and pinned by
-    test_cosine_neardup_lsh_precision_and_recall — so the bucketed
+    1.0 and pytest-pinned at BOTH scales
+    (test_cosine_neardup_lsh_precision_and_recall at sf0.001;
+    test_cosine_neardup_lsh_recall_is_total_at_oracle_scale at sf0.01,
+    the driver's check scale) — so the bucketed
     output EQUALS the exact set. The vector-free candidate exchange +
     hot-bucket guard run live in this plan (plan-shape tested)."""
     return similarity.cosine_neardup_lsh(
@@ -1964,6 +1957,34 @@ def _q_kg_bem_classifier(spark, sf_dir):
     )
 
 
+def _q_kg_bem_pr(spark, sf_dir):
+    """A7 at corpus scale over CONTINUOUS LR confidences — the
+    production caller of evaluation.classifier_pr (the quantizing
+    entrypoint VERDICT r5 #6 asked for; without a queries() route the
+    degenerate one-bucket-per-row path was one import away from
+    recurring). Rows-only: LR training is not SQL-expressible; the
+    discrete-score A7 math has the ◆ bem_pr_curve oracle, and
+    classifier_pr's quantized ≡ pre-rounded equivalence is pytest-
+    pinned."""
+    from docopenie_spark.operators import classifier
+    from docopenie_spark.plans.evaluation import classifier_pr
+
+    t = _kg_transcripts(spark, sf_dir)
+    r = run_pipeline(spark, t)
+    feats = classifier.bem_features(
+        r.best_mentions_expanded, r.clusters, datagen.gazetteer_rows()
+    ).cache()
+    labeled = feats.withColumn("label", (F.col("kind") != "identity").cast("double"))
+    scored = classifier.score(classifier.train_classifier(labeled), labeled)
+    pr = classifier_pr(scored)
+    return pr.select(
+        F.round("confidence", 4).alias("confidence"),
+        "label",
+        F.round("precision", 6).alias("precision"),
+        F.round("precision_smoothed", 6).alias("precision_smoothed"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "turn_assembly": _q_turn_assembly,
@@ -2012,6 +2033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_eval_diff": _q_kg_eval_diff,
         "kg_eval_diff_full": _q_kg_eval_diff_full,
         "kg_bem_classifier": _q_kg_bem_classifier,
+        "kg_bem_pr": _q_kg_bem_pr,
     }
 
 

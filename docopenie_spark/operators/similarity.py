@@ -84,8 +84,8 @@ def _plane_weights(dims: int, planes: int, table: int = 0) -> list[list[float]]:
 def hyperplane_signature(vec_col, dims: int, planes: int = 16, table: int = 0):
     """Deterministic random-hyperplane bit signature as a JVM expression.
     Weights are embedded as literal arrays (driver-computed constants);
-    for very high dims (≳4k total embedded doubles over the codegen
-    budget) the LSH entry points switch to the broadcast weights-table
+    above ``LITERAL_WEIGHTS_MAX`` total embedded doubles the LSH entry
+    points' ``weights="auto"`` switches to the broadcast weights-table
     backend (:func:`weights_row` / ``weights="broadcast"``) — identical
     bucket semantics, parity-pinned. ``table`` selects an independent
     hash table for OR-ed multi-table probing.
@@ -166,11 +166,14 @@ def _signature_from_wmat(vec_col, table_idx: int):
             )
             >= 0,
             # bit p = 2^p (shiftleft needs a literal shift count; the
-            # double pow is exact far past any sane plane count)
-            F.pow(F.lit(2.0), i).cast("int"),
-        ).otherwise(F.lit(0)),
+            # double pow is exact to 2^53). LONG, not int: plane 31
+            # overflows int32 — ANSI mode raises CAST_OVERFLOW, non-ANSI
+            # silently clamps and corrupts the bucket (the literal
+            # backend's F.lit(2**p) auto-promotes to long there).
+            F.pow(F.lit(2.0), i).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
     )
-    return F.aggregate(bits, F.lit(0), lambda acc, b: acc + b)
+    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, b: acc + b)
 
 
 def kmeans_centroids(
@@ -484,7 +487,12 @@ def _guarded_sig_rows(e: DataFrame, max_bucket_size: int) -> DataFrame:
     (table, bucket, sub) group size) — callers drop groups still over
     the cap (a mass of near-identical vectors the refinement cannot
     split; emitting their quadratic pair set would dominate the job).
-    Both window counts run over SLIM rows on the same key family."""
+    Both window counts run over SLIM rows on the same key family.
+    With refinement disabled (``refine_planes=0`` upstream — no
+    ``refined`` column) every hot bucket keeps sub = 0 and is dropped
+    whole: the cap still bounds the pair work, it just cannot split."""
+    if "refined" not in e.columns:
+        e = e.withColumn("refined", F.lit(0))
     w = Window.partitionBy("table", "bucket")
     e = e.withColumn("_bn", F.count(F.lit(1)).over(w)).withColumn(
         "sub",

@@ -171,6 +171,24 @@ def test_cosine_neardup_lsh_precision_and_recall(spark):
     assert len(dflt) / len(exact) >= 0.7
 
 
+def test_cosine_neardup_lsh_recall_is_total_at_oracle_scale(spark):
+    """The embedding_neardup ◆ oracle equals the exact pair set ONLY
+    while (planes=8, tables=4) recall is exactly 1.0 — pin that at
+    sf0.01, the scale the DRIVER actually checks, so a recall
+    regression breaks here with a named cause instead of as an opaque
+    correctness-gate hash mismatch (previously only the sf0.001 corpus
+    was pinned; the sf0.01 claim rested on the oracle run itself)."""
+    import __spark_entry__ as entry
+
+    corpus = entry._neardup_planted_corpus(spark, "/root/testdata/sf0.01")
+    exact = {(r.id_a, r.id_b, r.cosine)
+             for r in similarity.cosine_neardup_pairs(corpus, 0.8).collect()}
+    lsh = {(r.id_a, r.id_b, r.cosine)
+           for r in similarity.cosine_neardup_lsh(
+               corpus, 0.8, dims=64, planes=8, tables=4).collect()}
+    assert lsh == exact and exact
+
+
 def test_ivf_topk_recalls_planted_duplicate(spark):
     """IVF ANN: an exact duplicate shares its original's argmin centroid
     cell (identical vector → identical distance expression), so top-1 is

@@ -404,3 +404,41 @@ def test_broadcast_weights_plan_exchanges_stay_slim(spark):
     for sec in exchanges:
         assert not _VECTOR_COL.search(sec), f"vector in exchange:\n{sec}"
         assert "wmat#" not in sec, f"weights matrix in exchange:\n{sec}"
+
+
+def test_broadcast_signature_survives_planes_32(spark):
+    """Regression (round-6 review): bit 31 as pow(2,i).cast('int')
+    overflowed int32 — ANSI raises CAST_OVERFLOW, non-ANSI silently
+    corrupts the bucket. The broadcast backend now accumulates LONG
+    bits; parity with the literal backend (whose 2**p literals
+    auto-promote) must hold at planes=32."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    # planted exact duplicates guarantee bucket collisions at ANY plane
+    # count (32 planes over ~1k vectors otherwise isolates every row)
+    corpus = emb.unionByName(
+        qs.withColumn("vec_id", F.col("vec_id") + F.lit(1 << 20))
+    )
+    lit = {(r.query_id, r.vec_id) for r in similarity.lsh_topk(
+        corpus, qs, dims=64, k=2, planes=32, tables=1, weights="literal").collect()}
+    bc = {(r.query_id, r.vec_id) for r in similarity.lsh_topk(
+        corpus, qs, dims=64, k=2, planes=32, tables=1, weights="broadcast").collect()}
+    assert lit == bc and lit
+
+
+def test_hot_bucket_guard_with_refinement_disabled(spark):
+    """Regression (round-6 review): refine_planes=0 with a cap crashed
+    on the missing `refined` column. Now it means 'drop oversized
+    buckets whole' — still bounded, still disclosed, no crash."""
+    corpus = _skewed_corpus(spark)
+    guarded = similarity.lsh_candidate_pairs(
+        corpus, dims=32, max_bucket_size=40, refine_planes=0
+    ).count()
+    unguarded = similarity.lsh_candidate_pairs(
+        corpus, dims=32, max_bucket_size=None
+    ).count()
+    assert guarded < unguarded / 10
+    dropped = similarity.lsh_dropped_buckets(
+        corpus, dims=32, max_bucket_size=40, refine_planes=0
+    ).collect()
+    assert dropped and all(r.sub == 0 for r in dropped)
