@@ -690,69 +690,59 @@ def best_mentions(entities: DataFrame, doc_chunks: DataFrame,
 
     joined = entities.join(resolved, ["conv_id", "entity_type", "name"], "left")
 
-    target = F.struct(
-        F.col("text"), F.col("offset"), F.col("name"), F.col("entity_type")
-    ).cast(schemas.ENTITY_REF).alias("target")
+    ref_ddl = schemas.ENTITY_REF.simpleString()
+    target = (
+        f"cast(struct(text, offset, name, entity_type) as {ref_ddl}) as target"
+    )
 
-    independent = joined.where(~F.coalesce("dep", F.lit(False))).select(
+    independent = joined.where("NOT coalesce(dep, false)").selectExpr(
         "conv_id",
-        F.coalesce("kind", F.lit("identity")).alias("kind"),
+        "coalesce(kind, 'identity') as kind",
         target,
-        F.coalesce("best_mention", F.col("name")).alias("best_mention"),
-        F.col("best_entity").cast(schemas.ENTITY_REF).alias("best_entity"),
-        F.col("container_entity").cast(schemas.ENTITY_REF).alias("container_entity"),
-        F.col("contained_entity").cast(schemas.ENTITY_REF).alias("contained_entity"),
-        F.coalesce("candidate_count", F.lit(1.0)).alias("candidate_count"),
-        F.lit(None).cast("int").alias("cluster_id"),
+        "coalesce(best_mention, name) as best_mention",
+        f"cast(best_entity as {ref_ddl}) as best_entity",
+        f"cast(container_entity as {ref_ddl}) as container_entity",
+        f"cast(contained_entity as {ref_ddl}) as contained_entity",
+        "coalesce(candidate_count, 1.0D) as candidate_count",
+        "cast(null as int) as cluster_id",
     )
 
     # second pass — per-occurrence proximity for multi-candidate names.
     # inner pick per element is bound ONCE in a nested struct (Catalyst
     # does not CSE inside lambda bodies), and the outer array_min orders
     # lexicographically on ((distance, occurrence), display, entity) —
-    # exactly _pick's tie order.
-    dep = joined.where(F.coalesce("dep", F.lit(False)))
+    # exactly _pick's tie order. (SQL strings since round 7 — this
+    # subtree alone was ~40 py4j round trips per construction.)
+    dep = joined.where("coalesce(dep, false)")
 
-    best = F.array_min(
-        F.transform(
-            "matches",
-            lambda m: F.struct(
-                F.array_min(
-                    F.transform(
-                        m["offs"],
-                        lambda o: F.struct(
-                            F.abs(o - F.col("offset")).alias("d"), o.alias("occ")
-                        ),
-                    )
-                ).alias("pick"),
-                m["disp"].alias("disp"),
-                m["ent"].alias("ent"),
-            ),
-        )
+    best = (
+        "array_min(transform(matches, m -> struct("
+        " array_min(transform(m.offs,"
+        "   o -> struct(abs(o - offset) as d, o as occ))) as pick,"
+        " m.disp as disp, m.ent as ent)))"
     )
-    picked_full = F.struct(
-        best["ent"].alias("text"), best["pick"]["occ"].alias("offset"),
-        best["disp"].alias("name"), F.col("entity_type"),
-    ).cast(schemas.ENTITY_REF)
-    picked_container = F.struct(
-        best["ent"].alias("text"), best["pick"]["occ"].alias("offset"),
-        best["ent"].alias("name"), F.lit("LOCATION").alias("entity_type"),
-    ).cast(schemas.ENTITY_REF)
-    is_full = F.col("kind") == "full"
-    dep_rows = dep.select(
+    picked_full = (
+        f"cast(struct(({best}).ent as text, ({best}).pick.occ as offset,"
+        f" ({best}).disp as name, entity_type) as {ref_ddl})"
+    )
+    picked_container = (
+        f"cast(struct(({best}).ent as text, ({best}).pick.occ as offset,"
+        f" ({best}).ent as name, 'LOCATION' as entity_type) as {ref_ddl})"
+    )
+    dep_rows = dep.selectExpr(
         "conv_id",
-        F.col("kind"),
+        "kind",
         target,
-        best["disp"].alias("best_mention"),
-        F.when(is_full, picked_full).alias("best_entity"),
-        F.when(~is_full, picked_container).alias("container_entity"),
-        F.lit(None).cast(schemas.ENTITY_REF).alias("contained_entity"),
+        f"({best}).disp as best_mention",
+        f"CASE WHEN kind = 'full' THEN {picked_full} END as best_entity",
+        f"CASE WHEN NOT (kind = 'full') THEN {picked_container} END"
+        " as container_entity",
+        f"cast(null as {ref_ddl}) as contained_entity",
         # 1/|distinct DISPLAYS| — entries are per (display, candidate), so
         # two candidates renaming to one display count once (≡ _pick)
-        (F.lit(1.0) / F.size(
-            F.array_distinct(F.transform("matches", lambda m: m["disp"]))
-        )).alias("candidate_count"),
-        F.lit(None).cast("int").alias("cluster_id"),
+        "1.0D / size(array_distinct(transform(matches, m -> m.disp)))"
+        " as candidate_count",
+        "cast(null as int) as cluster_id",
     )
     return independent.unionByName(dep_rows)
 
@@ -775,6 +765,10 @@ def _pronoun_gate(text_col, type_col):
     return (is_personal & ~not_person) | (~is_personal & not_person)
 
 
+def _strlist(words) -> str:
+    return ", ".join(f"'{w}'" for w in sorted(words))
+
+
 def expand_with_coref(bems: DataFrame, clusters: DataFrame,
                       links: DataFrame | None = None) -> DataFrame:
     """T12: per cluster, if exactly one distinct link (else exactly one
@@ -791,14 +785,18 @@ def expand_with_coref(bems: DataFrame, clusters: DataFrame,
     the same key, and ONE groupBy produces both the link-uniqueness and
     bem-uniqueness decisions — the round-1 version ran two join+groupBy
     pyramids plus an anti-join and a second pronoun join (4 shuffles more).
-    """
-    m = clusters.select(
-        "conv_id", "cluster_id", F.explode("mentions").alias("m")
-    ).select("conv_id", "cluster_id", F.col("m.text").alias("m_text"),
-             F.col("m.offset").alias("m_offset"))
 
-    is_pron = F.lower(F.col("m_text")).isin(*sorted(PRONOUNS))
-    pron_mentions = m.where(is_pron)
+    Expressions are SQL strings (round 7): this constructor cost ~0.9 s
+    of driver py4j time per run_pipeline call (on the bench's measured
+    path); composite selectExpr strings build the identical analyzed
+    plan in a handful of calls.
+    """
+    m = clusters.selectExpr(
+        "conv_id", "cluster_id", "explode(mentions) as m"
+    ).selectExpr("conv_id", "cluster_id",
+                 "m.text as m_text", "m.offset as m_offset")
+
+    pron_mentions = m.where(f"lower(m_text) IN ({_strlist(PRONOUNS)})")
 
     ann = m
     if links is not None:
@@ -806,88 +804,94 @@ def expand_with_coref(bems: DataFrame, clusters: DataFrame,
         # (DocumentExtractor.scala:119-121) against Stanford mentions that
         # INCLUDE determiners; our mentions are NNP runs without them, so
         # the aligned key is the cleaned-arg offset (first retained char)
-        l = links.select(
-            F.col("conv_id").alias("l_conv"), F.col("clean_offset").alias("l_off"),
-            F.col("name").alias("l_name"), F.col("id").alias("l_id"),
-            F.col("types").alias("l_types"),
+        l = links.selectExpr(
+            "conv_id as l_conv", "clean_offset as l_off",
+            "name as l_name", "id as l_id", "types as l_types",
         )
         ann = ann.join(
             l, (ann.conv_id == l.l_conv) & (ann.m_offset == l.l_off), "left"
         ).drop("l_conv", "l_off")
     else:
-        ann = (
-            ann.withColumn("l_id", F.lit(None).cast("string"))
-            .withColumn("l_name", F.lit(None).cast("string"))
-            .withColumn("l_types", F.lit(None).cast("array<string>"))
+        ann = ann.selectExpr(
+            "*",
+            "cast(null as string) as l_id",
+            "cast(null as string) as l_name",
+            "cast(null as array<string>) as l_types",
         )
 
     b = bems.where(
-        F.col("kind").isin("identity", "full", "container", "containment")
-    ).select(
-        F.col("conv_id").alias("b_conv"), F.col("target.offset").alias("b_off"),
-        F.col("kind").alias("b_kind"), F.col("target").alias("b_target"),
-        "best_mention", "best_entity", "candidate_count",
+        "kind IN ('identity', 'full', 'container', 'containment')"
+    ).selectExpr(
+        "conv_id as b_conv", "target.offset as b_off", "kind as b_kind",
+        "target as b_target", "best_mention", "best_entity", "candidate_count",
     )
     ann = ann.join(
         b, (ann.conv_id == b.b_conv) & (ann.m_offset == b.b_off), "left"
     ).drop("b_conv", "b_off")
 
     # null-guarded structs so min() skips mentions without a match
-    l_struct = F.when(
-        F.col("l_id").isNotNull(), F.struct("l_id", "l_name", "l_types")
-    )
-    b_struct = F.when(
-        F.col("best_mention").isNotNull(),
-        F.struct("best_mention", "b_kind", "b_target", "best_entity", "candidate_count"),
-    )
     agg = ann.groupBy("conv_id", "cluster_id").agg(
-        F.countDistinct("l_id").alias("n_l"),
-        F.min(l_struct).alias("l"),
-        F.countDistinct("best_mention").alias("n_b"),
-        F.min(b_struct).alias("b"),
+        F.expr("count(DISTINCT l_id)").alias("n_l"),
+        F.expr("min(CASE WHEN l_id IS NOT NULL"
+               " THEN struct(l_id, l_name, l_types) END)").alias("l"),
+        F.expr("count(DISTINCT best_mention)").alias("n_b"),
+        F.expr("min(CASE WHEN best_mention IS NOT NULL THEN struct("
+               "best_mention, b_kind, b_target, best_entity, candidate_count"
+               ") END)").alias("b"),
     )
-    use_link = F.col("n_l") == 1
-    decided = agg.where(use_link | (F.col("n_b") == 1)).select(
-        "conv_id", "cluster_id", use_link.alias("use_link"), "l", "b"
+    decided = agg.where("n_l = 1 OR n_b = 1").selectExpr(
+        "conv_id", "cluster_id", "n_l = 1 as use_link", "l", "b"
     )
 
-    person_link = F.exists(F.col("l.l_types"), lambda t: t == F.lit("person"))
-    link_type = F.when(person_link, F.lit("PERSON")).otherwise(F.lit("OTHER"))
-    ent_type = F.when(F.col("use_link"), link_type).otherwise(
-        F.col("b.b_target.entity_type")
+    ent_type = (
+        "CASE WHEN use_link THEN (CASE WHEN exists(l.l_types, t -> t = 'person')"
+        " THEN 'PERSON' ELSE 'OTHER' END) ELSE b.b_target.entity_type END"
     )
     kind = (
-        F.when(F.col("use_link"), F.lit("coref_link"))
-        .when(F.col("b.b_kind") == "identity", F.lit("coref_identity"))
-        .when(F.col("b.best_entity").isNotNull(), F.lit("coref_full"))
-        .otherwise(F.lit("coref"))
+        "CASE WHEN use_link THEN 'coref_link'"
+        " WHEN b.b_kind = 'identity' THEN 'coref_identity'"
+        " WHEN b.best_entity IS NOT NULL THEN 'coref_full'"
+        " ELSE 'coref' END"
     )
     raw_best = (
-        F.when(F.col("use_link"), F.col("l.l_name"))
-        .when(F.col("b.b_kind") == "identity", F.col("b.b_target.name"))
-        .otherwise(F.col("b.best_mention"))
+        "CASE WHEN use_link THEN l.l_name"
+        " WHEN b.b_kind = 'identity' THEN b.b_target.name"
+        " ELSE b.best_mention END"
     )
+    # _possessive_fix as SQL (tool/link/Linker.scala:102-120)
+    best = (
+        f"CASE WHEN lower(m_text) IN ({_strlist(POSSESSIVE_PRONOUNS)})"
+        f" THEN (CASE WHEN endswith({raw_best}, 's')"
+        f"       THEN concat({raw_best}, \"'\")"
+        f"       ELSE concat({raw_best}, \"'s\") END)"
+        f" ELSE {raw_best} END"
+    )
+    # the reference's XOR gate (_pronoun_gate; DocumentExtractor.scala:143-145)
+    gate = (
+        f"((lower(m_text) IN ({_strlist(PERSONAL_PRONOUNS)}))"
+        f" AND NOT (({ent_type}) != 'PERSON'))"
+        f" OR ((NOT (lower(m_text) IN ({_strlist(PERSONAL_PRONOUNS)})))"
+        f" AND (({ent_type}) != 'PERSON'))"
+    )
+    ref_ddl = schemas.ENTITY_REF.simpleString()
     new_rows = (
         pron_mentions.join(decided, ["conv_id", "cluster_id"])
         # clusters decided by bem need a bem; link clusters need a link row
-        .where(F.when(F.col("use_link"), F.col("l").isNotNull())
-               .otherwise(F.col("b").isNotNull()))
-        .where(_pronoun_gate(F.col("m_text"), ent_type))
-        .select(
+        .where("CASE WHEN use_link THEN l IS NOT NULL ELSE b IS NOT NULL END")
+        .where(gate)
+        .selectExpr(
             "conv_id",
-            kind.alias("kind"),
-            F.struct(
-                F.col("m_text").alias("text"), F.col("m_offset").alias("offset"),
-                F.col("m_text").alias("name"), ent_type.alias("entity_type"),
-            ).alias("target"),
-            _possessive_fix(raw_best, F.col("m_text")).alias("best_mention"),
-            F.when(~F.col("use_link"), F.col("b.best_entity"))
-            .cast(schemas.ENTITY_REF).alias("best_entity"),
-            F.lit(None).cast(schemas.ENTITY_REF).alias("container_entity"),
-            F.lit(None).cast(schemas.ENTITY_REF).alias("contained_entity"),
-            F.when(F.col("use_link"), F.lit(1.0))
-            .otherwise(F.col("b.candidate_count")).alias("candidate_count"),
-            F.col("cluster_id"),
+            f"{kind} as kind",
+            f"struct(m_text as text, m_offset as offset, m_text as name,"
+            f" {ent_type} as entity_type) as target",
+            f"{best} as best_mention",
+            f"cast(CASE WHEN NOT use_link THEN b.best_entity END"
+            f" as {ref_ddl}) as best_entity",
+            f"cast(null as {ref_ddl}) as container_entity",
+            f"cast(null as {ref_ddl}) as contained_entity",
+            "CASE WHEN use_link THEN 1.0D"
+            " ELSE b.candidate_count END as candidate_count",
+            "cluster_id",
         )
     )
     return bems.unionByName(new_rows)

@@ -136,31 +136,28 @@ def clusters_python(mentions: DataFrame) -> DataFrame:
 
 
 def _with_keys(mentions: DataFrame) -> DataFrame:
-    """Whole-stage-codegen'd canonical-key derivation (mention_key)."""
-    words = F.split(F.col("name"), " ")
-    initials = F.array_join(
-        F.filter(
-            F.transform(words, lambda w: F.substring(w, 1, 1)),
-            lambda c: c.rlike("[A-Z]"),
-        ),
-        "",
+    """Whole-stage-codegen'd canonical-key derivation (mention_key).
+    One composite SQL string (round 7): the Column-built tree cost a
+    few hundred py4j round trips per pipeline construction."""
+    initials = (
+        "array_join(filter(transform(split(name, ' '),"
+        " w -> substring(w, 1, 1)), c -> c rlike '[A-Z]'), '')"
     )
     key = (
-        F.when(F.col("entity_type") == "PERSON",
-               F.concat(F.lit("P:"), F.lower(F.element_at(words, -1))))
-        .when(F.col("entity_type") == "ORGANIZATION",
-              F.when(F.size(words) == 1, F.concat(F.lit("O:"), F.lower(F.col("name"))))
-              .otherwise(F.concat(F.lit("O:"), F.lower(initials))))
-        .otherwise(
-            F.concat(F.substring("entity_type", 1, 1), F.lit(":"),
-                     F.lower(F.regexp_replace("name", "\\s+", " ")))
-        )
+        "CASE WHEN entity_type = 'PERSON'"
+        " THEN concat('P:', lower(element_at(split(name, ' '), -1)))"
+        " WHEN entity_type = 'ORGANIZATION'"
+        " THEN (CASE WHEN size(split(name, ' ')) = 1"
+        "       THEN concat('O:', lower(name))"
+        f"      ELSE concat('O:', lower({initials})) END)"
+        " ELSE concat(substring(entity_type, 1, 1), ':',"
+        r"             lower(regexp_replace(name, '\\s+', ' ')))"
+        " END"
     )
-    is_pron = F.col("entity_type") == PRONOUN_TYPE
-    return mentions.select(
+    return mentions.selectExpr(
         "conv_id", "text", "offset", "entity_type",
-        F.when(~is_pron, key).alias("key"),
-        is_pron.cast("int").alias("is_pron"),
+        f"CASE WHEN NOT (entity_type = '{PRONOUN_TYPE}') THEN {key} END as key",
+        f"cast(entity_type = '{PRONOUN_TYPE}' as int) as is_pron",
     )
 
 
@@ -187,6 +184,21 @@ def _pron_key(last: dict):
     )
 
 
+_CAT_SQL = [
+    ("person", "entity_type = 'PERSON'"),
+    ("thing", "entity_type IN ('ORGANIZATION', 'LOCATION', 'OTHER')"),
+    ("org", "entity_type = 'ORGANIZATION'"),
+    ("any", "true"),
+]
+
+_LAST_OVER = (
+    "last(CASE WHEN ({cond}) AND NOT (is_pron = 1) THEN key END, true)"
+    " OVER (PARTITION BY conv_id"
+    " ORDER BY offset ASC, is_pron DESC, text ASC, key ASC"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+
+
 def _resolve_plain(m: DataFrame) -> DataFrame:
     """Nearest-preceding-antecedent resolution with ONE window per
     conversation — the right shape for normally-sized conversations.
@@ -197,25 +209,37 @@ def _resolve_plain(m: DataFrame) -> DataFrame:
     last(entity key) anyway, and the currentRow-bounded running frame
     takes Spark's incremental O(n) path while (…, -1) falls into the
     O(n²) sliding-frame path (measured 18.8s → expected ~2s on 4M rows).
+
+    "key" as the final orderBy column makes ties on (offset, text)
+    deterministic AND consistent with the segmented path's per-block
+    max(struct(offset, text, key)) — without it, two mentions tying on
+    (conv_id, offset, text) with different keys resolve by sort-
+    stability luck and the two paths can diverge. Window expressions
+    are SQL strings (round 7, construction cost).
     """
-    is_pron, CATS = F.col("is_pron") == 1, _cats()
-    # "key" as the final orderBy column makes ties on (offset, text)
-    # deterministic AND consistent with the segmented path's per-block
-    # max(struct(offset, text, key)) — without it, two mentions tying on
-    # (conv_id, offset, text) with different keys resolve by sort-
-    # stability luck and the two paths can diverge.
-    w = (
-        Window.partitionBy("conv_id")
-        .orderBy("offset", F.desc("is_pron"), "text", "key")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lasts = m.selectExpr(
+        "*",
+        *[
+            _LAST_OVER.format(cond=c) + f" as _l_{n}"
+            for n, c in _CAT_SQL
+        ],
     )
-    last = {
-        n: F.last(F.when(c & ~is_pron, F.col("key")), ignorenulls=True).over(w)
-        for n, c in CATS
-    }
-    return m.withColumn(
-        "ckey", F.when(is_pron, _pron_key(last)).otherwise(F.col("key"))
-    ).where(F.col("ckey").isNotNull()).select(*_RESOLVED_COLS)
+    person_p = ", ".join(f"'{p}'" for p in sorted(_PERSON_PRON))
+    thing_p = ", ".join(f"'{p}'" for p in sorted(_THING_PRON))
+    plural_p = ", ".join(f"'{p}'" for p in sorted(_PLURAL_PRON))
+    ckey = (
+        "CASE WHEN is_pron = 1 THEN ("
+        f" CASE WHEN lower(text) IN ({person_p}) THEN _l_person"
+        f"      WHEN lower(text) IN ({thing_p}) THEN _l_thing"
+        f"      WHEN lower(text) IN ({plural_p}) THEN coalesce(_l_org, _l_any)"
+        "       ELSE _l_person END"
+        ") ELSE key END"
+    )
+    return (
+        lasts.selectExpr("*", f"{ckey} as ckey")
+        .where("ckey IS NOT NULL")
+        .select(*_RESOLVED_COLS)
+    )
 
 
 def _resolve_segmented(m: DataFrame, block_chars: int = 1 << 13) -> DataFrame:
@@ -275,29 +299,22 @@ def _assemble(resolved: DataFrame) -> DataFrame:
     grouped = (
         resolved.groupBy("conv_id", "ckey")
         .agg(
-            F.array_sort(F.collect_list(F.struct("offset", "text"))).alias("_ms"),
-            F.max(
-                F.struct(
-                    F.length("text").alias("l"),
-                    (-F.col("offset")).alias("negoff"),
-                    F.col("text").alias("t"),
-                )
-            ).alias("_b"),
-            F.min(F.when(F.col("is_pron") == 0, F.col("offset"))).alias("_first_ent_off"),
-            F.sum(F.lit(1)).alias("_n"),
+            F.expr("array_sort(collect_list(struct(offset, text)))").alias("_ms"),
+            F.expr("max(struct(length(text) as l, -offset as negoff,"
+                   " text as t))").alias("_b"),
+            F.expr("min(CASE WHEN is_pron = 0 THEN offset END)")
+            .alias("_first_ent_off"),
+            F.expr("sum(1)").alias("_n"),
         )
-        .where(F.col("_n") >= 2)
+        .where("_n >= 2")
     )
-    cid = F.row_number().over(
-        Window.partitionBy("conv_id").orderBy("_first_ent_off", "ckey")
-    ) - 1
-    return grouped.select(
+    return grouped.selectExpr(
         "conv_id",
-        cid.cast("int").alias("cluster_id"),
-        F.struct(F.col("_b.t").alias("text"), (-F.col("_b.negoff")).alias("offset")).alias("best"),
-        F.transform(
-            "_ms", lambda s: F.struct(s["text"].alias("text"), s["offset"].alias("offset"))
-        ).alias("mentions"),
+        "cast(row_number() OVER (PARTITION BY conv_id"
+        " ORDER BY _first_ent_off ASC, ckey ASC) - 1 as int) as cluster_id",
+        "struct(_b.t as text, -_b.negoff as offset) as best",
+        "transform(_ms, s -> struct(s.text as text, s.offset as offset))"
+        " as mentions",
     )
 
 

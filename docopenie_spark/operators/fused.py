@@ -21,6 +21,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -92,6 +93,42 @@ ANNOTATED = (
     "e_text string, e_offset bigint, e_len int, e_name string, e_type string"
 )
 
+# the same schema as Arrow types — the fused pass yields RecordBatches
+# built column-wise (pa.array over plain lists is a C loop), bypassing
+# the pandas list-of-tuples → object-Series → per-row struct boxing
+# path entirely (measured r7: 2.1s of the 7.4s fused wall at sf0.1 was
+# output-side construction; guide §4.2 "hand whole batches to
+# vectorized native libraries")
+_PART_PA = pa.struct([("text", pa.string()), ("offset", pa.int64())])
+ANNOTATED_PA = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("row_kind", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("sent_num", pa.int32()),
+        ("arg1", _PART_PA),
+        ("rel", _PART_PA),
+        ("arg2", _PART_PA),
+        ("confidence", pa.float64()),
+        ("extractor", pa.string()),
+        ("e_text", pa.string()),
+        ("e_offset", pa.int64()),
+        ("e_len", pa.int32()),
+        ("e_name", pa.string()),
+        ("e_type", pa.string()),
+    ]
+)
+
+
+def _part_array(texts: list, offs: list, mask: list) -> pa.StructArray:
+    """struct<text,offset> column from child lists + null mask
+    (True = null row) — no per-row dict/tuple boxing."""
+    return pa.StructArray.from_arrays(
+        [pa.array(texts, pa.string()), pa.array(offs, pa.int64())],
+        fields=list(_PART_PA),
+        mask=pa.array(mask, pa.bool_()),
+    )
+
 
 def parse_extract_annotate(
     turns_with_offsets: DataFrame,
@@ -134,47 +171,88 @@ def parse_extract_annotate(
     if rebalance:
         src = src.repartition(F.col("conv_id"), F.col("turn_idx"))
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         firsts, gaz, lasts = b_first.value, b_gaz.value, b_last.value
         for b in batches:
-            recs = []
+            # columnar accumulators — one list per output column (struct
+            # columns as child lists + null mask); pa.array over these is
+            # a C-speed loop, vs pandas transposing 14-wide tuples
+            conv: list = []
+            kind: list = []
+            til: list = []
+            snl: list = []
+            a1t: list = []; a1o: list = []; a1m: list = []
+            rlt: list = []; rlo: list = []; rlm: list = []
+            a2t: list = []; a2o: list = []; a2m: list = []
+            conf_l: list = []
+            ext_l: list = []
+            etext: list = []
+            eoff: list = []
+            elen: list = []
+            ename: list = []
+            etyp: list = []
             for conv_id, turn_idx, turn_offset, text in zip(
-                b["conv_id"], b["turn_idx"], b["turn_offset"], b["text"]
+                b.column(0).to_pylist(), b.column(1).to_pylist(),
+                b.column(2).to_pylist(), b.column(3).to_pylist(),
             ):
-                ti = int(turn_idx)
+                ti = turn_idx
                 for i, (local, s) in enumerate(segment_turn(text)):
                     if not _keep(s):
                         continue
-                    off = int(turn_offset) + local
+                    off = turn_offset + local
                     tokens = tokenize_sentence(s)
-                    recs.append((conv_id, "s", ti, i, None, None, None,
-                                 None, None,
-                                 s if emit_sentence_text else None,
-                                 off, len(s), None, None))
-                    for a1, r, a2, conf, ext in extract_sentence(tokens, s):
-                        recs.append((
-                            conv_id, "t", ti, i,
-                            (a1[0], off + a1[1]),
-                            (r[0], off + r[1]),
-                            (a2[0], off + a2[1]),
-                            conf, ext, None, None, None, None, None,
-                        ))
+                    conv.append(conv_id); kind.append("s")
+                    til.append(ti); snl.append(i)
+                    a1t.append(None); a1o.append(None); a1m.append(True)
+                    rlt.append(None); rlo.append(None); rlm.append(True)
+                    a2t.append(None); a2o.append(None); a2m.append(True)
+                    conf_l.append(None); ext_l.append(None)
+                    etext.append(s if emit_sentence_text else None)
+                    eoff.append(off); elen.append(len(s))
+                    ename.append(None); etyp.append(None)
+                    for a1, r, a2, cf, ext in extract_sentence(tokens, s):
+                        conv.append(conv_id); kind.append("t")
+                        til.append(ti); snl.append(i)
+                        a1t.append(a1[0]); a1o.append(off + a1[1]); a1m.append(False)
+                        rlt.append(r[0]); rlo.append(off + r[1]); rlm.append(False)
+                        a2t.append(a2[0]); a2o.append(off + a2[1]); a2m.append(False)
+                        conf_l.append(cf); ext_l.append(ext)
+                        etext.append(None); eoff.append(None); elen.append(None)
+                        ename.append(None); etyp.append(None)
                     for e_text, e_off, e_name, e_type in sentence_entities(
                         tokens, s, off, firsts, gaz, lasts, True
                     ):
-                        recs.append((
-                            conv_id, "e", ti, i,
-                            None, None, None, None, None,
-                            e_text, int(e_off), None, e_name, e_type,
-                        ))
-            yield pd.DataFrame(
-                recs,
-                columns=["conv_id", "row_kind", "turn_idx", "sent_num",
-                         "arg1", "rel", "arg2", "confidence", "extractor",
-                         "e_text", "e_offset", "e_len", "e_name", "e_type"],
+                        conv.append(conv_id); kind.append("e")
+                        til.append(ti); snl.append(i)
+                        a1t.append(None); a1o.append(None); a1m.append(True)
+                        rlt.append(None); rlo.append(None); rlm.append(True)
+                        a2t.append(None); a2o.append(None); a2m.append(True)
+                        conf_l.append(None); ext_l.append(None)
+                        etext.append(e_text); eoff.append(e_off); elen.append(None)
+                        ename.append(e_name); etyp.append(e_type)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(conv, pa.string()),
+                    pa.array(kind, pa.string()),
+                    pa.array(til, pa.int32()),
+                    pa.array(snl, pa.int32()),
+                    _part_array(a1t, a1o, a1m),
+                    _part_array(rlt, rlo, rlm),
+                    _part_array(a2t, a2o, a2m),
+                    pa.array(conf_l, pa.float64()),
+                    pa.array(ext_l, pa.string()),
+                    pa.array(etext, pa.string()),
+                    pa.array(eoff, pa.int64()),
+                    pa.array(elen, pa.int32()),
+                    pa.array(ename, pa.string()),
+                    pa.array(etyp, pa.string()),
+                ],
+                schema=ANNOTATED_PA,
             )
 
-    return src.mapInPandas(run, schema=ANNOTATED)
+    # the select() above pins the column order the kernel indexes by
+    # position (guide §4.1: explicit projection before an opaque map)
+    return src.mapInArrow(run, schema=ANNOTATED)
 
 
 def split_sentences(annotated: DataFrame,

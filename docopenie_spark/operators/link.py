@@ -43,10 +43,9 @@ _TRAIL_PAT = r"(?i)(?:^|\s+)(?:%s)$" % "|".join(_STRIP_WORDS)
 
 def exploded_args(triples_raw: DataFrame) -> DataFrame:
     """Distinct extraction arguments (Linker.scala:127 args.distinct)."""
-    a = triples_raw.select(
-        "conv_id",
-        F.explode(F.array(F.col("arg1"), F.col("arg2"))).alias("p"),
-    ).select("conv_id", F.col("p.text").alias("text"), F.col("p.offset").alias("offset"))
+    a = triples_raw.selectExpr(
+        "conv_id", "explode(array(arg1, arg2)) as p"
+    ).selectExpr("conv_id", "p.text as text", "p.offset as offset")
     return a.dropDuplicates(["conv_id", "offset", "text"])
 
 
@@ -73,19 +72,18 @@ _CTX_BUCKET = 256  # chars per offset bucket in the containment joins
 def _containment_join(points: DataFrame, spans: DataFrame, p_off, p_len, s_off, s_len):
     """points ⊆ spans interval join, bucketed on (conv_id, offset//B) so
     it stays skew-proof — no per-conversation cross product even for the
-    hot conversation (SURVEY.md J3 pattern, same as substitute.py)."""
-    p = points.withColumn("_b", (p_off / _CTX_BUCKET).cast("long"))
-    s = spans.withColumn(
-        "_b",
-        F.explode(
-            F.sequence(
-                (s_off / _CTX_BUCKET).cast("long"),
-                ((s_off + s_len) / _CTX_BUCKET).cast("long"),
-            )
-        ),
+    hot conversation (SURVEY.md J3 pattern, same as substitute.py).
+    Offset/length arguments are SQL expression strings (round 7: the
+    five containment joins cost ~0.5 s of py4j driver time per
+    run_pipeline construction as Column trees)."""
+    p = points.selectExpr("*", f"cast(({p_off}) / {_CTX_BUCKET} as bigint) as _b")
+    s = spans.selectExpr(
+        "*",
+        f"explode(sequence(cast(({s_off}) / {_CTX_BUCKET} as bigint),"
+        f" cast((({s_off}) + ({s_len})) / {_CTX_BUCKET} as bigint))) as _b",
     )
     return p.join(s, ["conv_id", "_b"]).where(
-        (p_off >= s_off) & (p_off + p_len <= s_off + s_len)
+        f"({p_off}) >= ({s_off}) AND ({p_off}) + ({p_len}) <= ({s_off}) + ({s_len})"
     ).drop("_b")
 
 
@@ -100,22 +98,20 @@ def arg_contexts(args: DataFrame, clusters: DataFrame, sentences: DataFrame) -> 
     nested loops become hash joins that scale past the hot conversation."""
     akey = ["conv_id", "offset", "text"]
     a = args.select(*akey, "clean_text", "clean_offset")
-    s = sentences.select(
-        "conv_id", F.col("offset").alias("s_off"),
-        F.length("text").alias("s_len"), F.col("text").alias("s_text"),
+    s = sentences.selectExpr(
+        "conv_id", "offset as s_off", "length(text) as s_len", "text as s_text"
     )
     # 1. the arg's own sentence
     own = _containment_join(
-        a, s, F.col("clean_offset"), F.length("clean_text"), F.col("s_off"), F.col("s_len")
+        a, s, "clean_offset", "length(clean_text)", "s_off", "s_len"
     ).select(*akey, "s_off", "s_text")
     # 2. cluster mentions inside the arg span
-    cm = clusters.select(
-        "conv_id", "cluster_id", F.explode("mentions").alias("m")
-    ).select("conv_id", "cluster_id", F.col("m.offset").alias("m_off"),
-             F.length("m.text").alias("m_len"))
+    cm = clusters.selectExpr(
+        "conv_id", "cluster_id", "explode(mentions) as m"
+    ).selectExpr("conv_id", "cluster_id",
+                 "m.offset as m_off", "length(m.text) as m_len")
     arg_clusters = _containment_join(
-        cm, a,
-        F.col("m_off"), F.col("m_len"), F.col("clean_offset"), F.length("clean_text"),
+        cm, a, "m_off", "m_len", "clean_offset", "length(clean_text)"
     ).select("conv_id", "offset", "text", "cluster_id").distinct()
     # 3. sibling mentions of those clusters
     siblings = arg_clusters.join(cm, ["conv_id", "cluster_id"]).select(
@@ -123,12 +119,12 @@ def arg_contexts(args: DataFrame, clusters: DataFrame, sentences: DataFrame) -> 
     )
     # 4. sentences containing the siblings (the EXTENDED context)
     extended = _containment_join(
-        siblings, s, F.col("m_off"), F.col("m_len"), F.col("s_off"), F.col("s_len")
+        siblings, s, "m_off", "m_len", "s_off", "s_len"
     ).select(*akey, "s_off", "s_text")
     ctx_sents = own.unionByName(extended).dropDuplicates(akey + ["s_off"])
     return ctx_sents.groupBy(*akey).agg(
-        F.array_distinct(
-            F.flatten(F.collect_list(F.split(F.lower("s_text"), "\\s+")))
+        F.expr(
+            r"array_distinct(flatten(collect_list(split(lower(s_text), '\\s+'))))"
         ).alias("ctx")
     )
 
@@ -148,19 +144,14 @@ def links(
     args = with_clean_arg(exploded_args(triples_raw))
 
     # explode the dictionary over name + aliases with a per-key kind
-    cand = entity_dict.select(
-        "id", "name", "types", "inlinks", F.col("context").alias("d_ctx"),
-        F.explode(
-            F.concat(
-                F.array(F.struct(F.lower("name").alias("key"), F.lit("name").alias("src"))),
-                F.transform(
-                    "aliases",
-                    lambda a: F.struct(F.lower(a).alias("key"), F.lit("alias").alias("src")),
-                ),
-            )
-        ).alias("k"),
-    ).select("id", "name", "types", "inlinks", "d_ctx",
-             F.col("k.key").alias("key"), F.col("k.src").alias("src"))
+    cand = entity_dict.selectExpr(
+        "id", "name", "types", "inlinks", "context as d_ctx",
+        "explode(concat("
+        " array(struct(lower(name) as key, 'name' as src)),"
+        " transform(aliases, a -> struct(lower(a) as key, 'alias' as src))"
+        ")) as k",
+    ).selectExpr("id", "name", "types", "inlinks", "d_ctx",
+                 "k.key as key", "k.src as src")
 
     if clusters is not None and sentences is not None:
         # semi-join reduction: doc_sim only orders candidates WITHIN one
@@ -189,21 +180,20 @@ def links(
         F.broadcast(cand), F.lower(args.clean_text) == cand.key, "inner"
     )
 
-    cand_score = F.when(F.col("src") == "name", F.lit(6.0)).otherwise(F.lit(5.5))
-    inlink_score = 0.4 * F.log10(F.lit(1.0) + F.col("inlinks"))
+    cand_score = "CASE WHEN src = 'name' THEN 6.0D ELSE 5.5D END"
+    inlink_score = "0.4D * log10(1.0D + inlinks)"
     # context-token overlap, normalized by the entity's context size
-    doc_sim = F.when(
-        F.col("ctx").isNotNull() & F.col("d_ctx").isNotNull(),
-        F.size(F.array_intersect("ctx", "d_ctx"))
-        / F.greatest(F.size("d_ctx"), F.lit(1)).cast("double"),
-    ).otherwise(F.lit(0.0))
-    score = cand_score + inlink_score + doc_sim
-
+    doc_sim = (
+        "CASE WHEN ctx IS NOT NULL AND d_ctx IS NOT NULL"
+        " THEN size(array_intersect(ctx, d_ctx))"
+        " / cast(greatest(size(d_ctx), 1) as double)"
+        " ELSE 0.0D END"
+    )
     w = Window.partitionBy("conv_id", "offset", "text").orderBy(
         F.desc("score"), F.asc("id")
     )
     return (
-        j.select(
+        j.selectExpr(
             "conv_id",
             # the link carries the ORIGINAL arg text/offset; the cleaned
             # form is the query key only (Linker.scala:153-160)
@@ -213,9 +203,9 @@ def links(
             "clean_offset",
             "name",
             "id",
-            score.alias("score"),
-            doc_sim.alias("doc_sim"),
-            cand_score.alias("cand_score"),
+            f"({cand_score}) + ({inlink_score}) + ({doc_sim}) as score",
+            f"{doc_sim} as doc_sim",
+            f"{cand_score} as cand_score",
             "inlinks",
             "types",
         )

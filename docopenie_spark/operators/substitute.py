@@ -10,150 +10,119 @@ NATIVE Spark:
   an equi-join on (conv_id, offset-bucket) plus a range predicate — the
   bucket key keeps the join skew-proof even for the hot conversation
   (no per-conversation grouping anywhere in this stage);
-- the greedy non-overlap selection + splice is a single ``F.aggregate``
+- the greedy non-overlap selection + splice is a single ``aggregate``
   over the offset-sorted substitution array — a JVM-side fold,
   whole-stage-codegen'd, no Python at all.
 
 Order parity: the reference iterates substitutions in best-mention input
 order, which is entity/offset order — our sort_array on (offset, …)
 reproduces it deterministically.
+
+Expressions are built as SQL strings (round 7): the DAG for this stage
+used to cost ~0.7 s of driver time PER CONSTRUCTION in py4j round trips
+(the bench re-buckets run_pipeline every repeat, so construction is on
+the measured path); a selectExpr with one composite string is a handful
+of calls for the identical analyzed plan (the same trick simhash has
+used since round 2).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import IntegerType, StringType, StructField, StructType
-
-from .. import schemas
 
 BUCKET = 256  # chars per offset bucket in the interval join
 
-
-def _triple_id():
-    return F.xxhash64(
-        "conv_id", "turn_idx", "sent_num",
-        F.col("arg1.offset"), F.col("rel.offset"), F.length("rel.text"),
-        F.col("arg2.offset"), "extractor",
-    )
+_TRIPLE_ID_SQL = (
+    "xxhash64(conv_id, turn_idx, sent_num, arg1.offset, rel.offset, "
+    "length(rel.text), arg2.offset, extractor)"
+)
 
 
-def _subst_expr(text_col, off_col, subs_col):
+def _subst_sql(text: str, subs: str) -> str:
     """Greedy non-overlap splice (O7) as a native fold over sorted subs.
 
-    subs: array<struct<rel_start:int, rel_end:int, best:string>> sorted by
-    rel_start; rel_* are char positions within the argument text.
+    ``subs``: array<struct<rel_start:int, rel_end:int, best:string>>
+    sorted by rel_start; rel_* are char positions within the argument
+    text. Exact SQL twin of the pre-round-7 Column-built fold: the
+    accumulator is struct<cursor:int, out:string>, a substitution is
+    kept iff rel_start >= cursor, and the finisher appends the tail.
     """
-    acc0 = F.struct(F.lit(0).cast("int").alias("cursor"), F.lit("").alias("out"))
-
-    def step(acc, s):
-        keep = s["rel_start"] >= acc["cursor"]
-        new_out = F.concat(
-            acc["out"],
-            F.substring(text_col, acc["cursor"] + 1, s["rel_start"] - acc["cursor"]),
-            s["best"],
-        )
-        return F.when(
-            keep,
-            F.struct(s["rel_end"].cast("int").alias("cursor"), new_out.alias("out")),
-        ).otherwise(acc)
-
-    return F.aggregate(
-        subs_col,
-        acc0,
-        step,
-        lambda acc: F.concat(
-            acc["out"], F.substring(text_col, acc["cursor"] + 1, F.length(text_col))
-        ),
-    )
+    return f"""aggregate(
+        {subs},
+        struct(cast(0 as int) as cursor, '' as out),
+        (acc, s) -> if(
+            s.rel_start >= acc.cursor,
+            struct(
+                cast(s.rel_end as int) as cursor,
+                concat(acc.out,
+                       substring({text}, acc.cursor + 1, s.rel_start - acc.cursor),
+                       s.best) as out),
+            acc),
+        acc -> concat(acc.out, substring({text}, acc.cursor + 1, length({text}))))"""
 
 
 def substituted_triples(triples_raw: DataFrame, bems_display: DataFrame) -> DataFrame:
     """TRIPLES_RAW + displayable BEST_MENTIONS → TRIPLES (canonical strings)."""
-    t = triples_raw.withColumn("tid", _triple_id())
+    t = triples_raw.withColumn("tid", F.expr(_TRIPLE_ID_SQL))
 
-    args = t.select(
+    args = t.selectExpr(
         "conv_id",
         "tid",
-        F.explode(
-            F.array(
-                F.struct(F.lit("arg1").alias("which"), F.col("arg1").alias("part")),
-                F.struct(F.lit("arg2").alias("which"), F.col("arg2").alias("part")),
-            )
-        ).alias("a"),
-    ).select(
-        "conv_id", "tid", "a.which",
-        F.col("a.part.text").alias("text"), F.col("a.part.offset").alias("offset"),
+        "explode(array(struct('arg1' as which, arg1 as part),"
+        "              struct('arg2' as which, arg2 as part))) as a",
+    ).selectExpr(
+        "conv_id", "tid", "a.which as which",
+        "a.part.text as text", "a.part.offset as offset",
     )
 
-    m = bems_display.select(
+    m = bems_display.selectExpr(
         "conv_id",
-        F.col("target.offset").alias("m_off"),
-        F.length("target.text").alias("m_len"),
+        "target.offset as m_off",
+        "length(target.text) as m_len",
         "best_mention",
     )
 
     # bucketed interval-containment join: mention ∈ [arg start, arg end]
-    args_b = args.withColumn(
-        "bucket",
-        F.explode(
-            F.sequence(
-                (F.col("offset") / BUCKET).cast("long"),
-                ((F.col("offset") + F.length("text")) / BUCKET).cast("long"),
-            )
-        ),
+    args_b = args.selectExpr(
+        "*",
+        f"explode(sequence(cast(offset / {BUCKET} as bigint),"
+        f"                 cast((offset + length(text)) / {BUCKET} as bigint)))"
+        " as bucket",
     )
-    m_b = m.withColumn("bucket", (F.col("m_off") / BUCKET).cast("long"))
+    m_b = m.selectExpr("*", f"cast(m_off / {BUCKET} as bigint) as bucket")
 
-    joined = args_b.join(
-        m_b,
-        ["conv_id", "bucket"],
-    ).where(
-        (F.col("m_off") >= F.col("offset"))
-        & (F.col("m_off") + F.col("m_len") <= F.col("offset") + F.length("text"))
+    joined = args_b.join(m_b, ["conv_id", "bucket"]).where(
+        F.expr("m_off >= offset AND m_off + m_len <= offset + length(text)")
     )
 
-    sub_t = StructType(
-        [
-            StructField("rel_start", IntegerType()),
-            StructField("rel_end", IntegerType()),
-            StructField("best", StringType()),
-        ]
-    )
     subs = (
         joined.groupBy("conv_id", "tid", "which", "text", "offset")
         .agg(
-            F.sort_array(
-                F.collect_set(
-                    F.struct(
-                        (F.col("m_off") - F.col("offset")).cast("int").alias("rel_start"),
-                        (F.col("m_off") + F.col("m_len") - F.col("offset")).cast("int").alias("rel_end"),
-                        F.col("best_mention").alias("best"),
-                    )
-                )
+            F.expr(
+                "sort_array(collect_set(struct("
+                "cast(m_off - offset as int) as rel_start,"
+                "cast(m_off + m_len - offset as int) as rel_end,"
+                "best_mention as best)))"
             ).alias("subs")
         )
-        .select(
-            "tid", "which",
-            _subst_expr(F.col("text"), F.col("offset"), F.col("subs")).alias("subst"),
-        )
+        .selectExpr("tid", "which", _subst_sql("text", "subs") + " as subst")
     )
 
     pivoted = subs.groupBy("tid").agg(
-        F.max(F.when(F.col("which") == "arg1", F.col("subst"))).alias("subj_sub"),
-        F.max(F.when(F.col("which") == "arg2", F.col("subst"))).alias("obj_sub"),
+        F.expr("max(CASE WHEN which = 'arg1' THEN subst END)").alias("subj_sub"),
+        F.expr("max(CASE WHEN which = 'arg2' THEN subst END)").alias("obj_sub"),
     )
 
-    out = t.join(pivoted, "tid", "left").select(
+    return t.join(pivoted, "tid", "left").selectExpr(
         "conv_id",
         "turn_idx",
         "sent_num",
-        F.coalesce("subj_sub", F.col("arg1.text")).alias("subj"),
-        F.col("rel.text").alias("pred"),
-        F.coalesce("obj_sub", F.col("arg2.text")).alias("obj"),
-        F.col("arg1.text").alias("subj_raw"),
-        F.col("arg2.text").alias("obj_raw"),
+        "coalesce(subj_sub, arg1.text) as subj",
+        "rel.text as pred",
+        "coalesce(obj_sub, arg2.text) as obj",
+        "arg1.text as subj_raw",
+        "arg2.text as obj_raw",
         "confidence",
         "extractor",
     )
-    return out

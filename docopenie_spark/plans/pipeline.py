@@ -238,11 +238,23 @@ def run_pipeline(
     if fabricate_metadata:
         # S6: role/ts metadata becomes mention-bearing fabricated turns
         transcripts = assembly.fabricated_metadata_turns(transcripts)
+    # the raw input is itself a fan-out point: the salted-offset join
+    # reads it twice (rows + per-group partial sums) and doc_chunks /
+    # docs read it again — for a generated/derived source each of those
+    # is a full recompute (measured r7: the bench corpus is a mapInPandas
+    # generator, so the un-persisted turn table ran 2-4× per pipeline
+    # materialization). Persist only if the caller has not already
+    # chosen a level (persist with a different level raises).
+    if cache and transcripts.storageLevel == StorageLevel.NONE:
+        transcripts = _p(transcripts)
     turns = assembly.with_turn_offsets(transcripts)
     docs = assembly.doc_text_salted(transcripts)  # full strings: tests/queries only
     # the rule engine consumes BOUNDED chunks — the hot conversation never
-    # materializes as one row (assembly.doc_chunks)
-    chunks = _p(assembly.doc_chunks(transcripts))
+    # materializes as one row (assembly.doc_chunks). Not persisted (r7):
+    # best_mentions is its only consumer, so a persist only paid cache
+    # build + CacheManager plan canonicalization for a single read; the
+    # persisted transcripts underneath keep the rebuild cheap.
+    chunks = assembly.doc_chunks(transcripts)
     # segment+tokenize+extract+NER in ONE Python pass over the turn table
     # (operators/fused.parse_extract_annotate): token arrays never cross
     # the Arrow boundary — measured, the Arrow transfer itself scales at

@@ -41,12 +41,22 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Arrow-UDF stages are CPU-bound per ROW, not per byte: AQE's
-        # default 1 MiB minPartitionSize coalesces a small-by-bytes
-        # shuffle down to a handful of partitions and starves the Python
-        # workers of parallelism. 64 KiB keeps post-shuffle parallelism
-        # near the core count while still merging true slivers.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        # Arrow-UDF stages are CPU-bound per ROW, not per byte: AQE
+        # coalesces by COMPRESSED shuffle bytes, and the template-heavy
+        # corpus lz4-compresses ~100:1, so even the 64 KiB floor let AQE
+        # collapse the exchange feeding the fused NLP pass to ONE
+        # partition (measured r7: the whole 40k-turn Python stage ran as
+        # a single task; 1 KiB floor restores 32-way parallelism and
+        # cuts the fused pass 5.5s → 2.5s). Scale-safe: with
+        # parallelismFirst (default), the coalesce target is
+        # max(totalBytes/defaultParallelism, minPartitionSize), so any
+        # real-sized shuffle is governed by the first term and the floor
+        # only bites on tiny shuffles, where extra small tasks are
+        # cheap. Parameterised for cluster submitters.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "1k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))

@@ -1,0 +1,153 @@
+"""Round-7 (optimization round) regression tests.
+
+Every change this round is performance-only — these tests pin that the
+restructured plans keep identical row-level semantics:
+
+- hot-bucket guard: Window counts → groupBy().count() + join-back
+  (VERDICT r6 #1). Plan shape: no Window node anywhere in the guarded
+  candidate plan; a partial HashAggregate produces the counts. Row
+  parity: the new guard columns (sub, _sn) equal the old window
+  version's, computed here as an inline reference.
+- ivf_topk(centroids=None): the full corpus.count() at plan
+  construction became a bounded limit-probe (VERDICT r6 #4) —
+  small-corpus behavior (fit on the full corpus) is unchanged.
+- the fused pass emits Arrow RecordBatches directly (mapInArrow);
+  parity with the split operators is already pinned by
+  test_fused.py, here we pin the null/struct layout edge cases.
+"""
+
+import contextlib
+import io
+import re
+
+import pytest
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from docopenie_spark import datagen
+from docopenie_spark.operators import fused, similarity
+
+
+def _formatted_plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def _hot_corpus(spark):
+    """300 near-identical vectors (one hot bucket family) + a spread
+    background — same construction as the round-6 skew stress test."""
+    base = [1.0, 0.5] * 16
+    rows = []
+    for i in range(300):
+        rows.append((i, [x + (i % 7) * 1e-4 for x in base]))
+    for i in range(300, 420):
+        rows.append((i, [((i * 37 + d * 11) % 19) - 9.0 for d in range(32)]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+# ------------------------- VERDICT r6 #1: guard counts without windows
+
+def test_guarded_candidate_plan_has_no_window(spark):
+    """With the cap set, the candidate plan must contain NO Window node
+    (the old guard's per-bucket window count serialized the hottest
+    bucket into one task) and must compute the counts via partial
+    HashAggregate (map-side combine)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cand = similarity.lsh_candidate_pairs(emb, dims=64, max_bucket_size=64)
+    plan = _formatted_plan(cand)
+    assert "Window" not in plan, "guard still uses a window count"
+    assert "HashAggregate" in plan
+
+
+def test_guard_columns_match_window_reference(spark):
+    """sub and _sn from the aggregated guard equal the old
+    window-counted version row for row (the reference is computed here
+    with the exact pre-round-7 expressions)."""
+    e = similarity._sig_rows(
+        _hot_corpus(spark), dims=32, planes=12, tables=2,
+        vec_col="embedding", id_col="vec_id", refine_planes=6,
+    )
+    cap = 40
+    new = similarity._guarded_sig_rows(e, cap)
+
+    w = Window.partitionBy("table", "bucket")
+    ref = e.withColumn("_bn", F.count(F.lit(1)).over(w)).withColumn(
+        "sub",
+        F.when(F.col("_bn") > cap, F.col("refined")).otherwise(F.lit(0)),
+    )
+    w2 = Window.partitionBy("table", "bucket", "sub")
+    ref = ref.withColumn("_sn", F.count(F.lit(1)).over(w2))
+
+    key = lambda r: (r["table"], r["bucket"], r["_id"])  # noqa: E731
+    got = {key(r): (r["sub"], r["_sn"], r["_bn"]) for r in new.collect()}
+    want = {key(r): (r["sub"], r["_sn"], r["_bn"]) for r in ref.collect()}
+    assert got == want
+
+
+def test_guard_reference_parity_without_refinement(spark):
+    """refine_planes=0 path (no refined column): hot buckets keep
+    sub = 0 and _sn = _bn — identical to the window version."""
+    e = similarity._sig_rows(
+        _hot_corpus(spark), dims=32, planes=12, tables=2,
+        vec_col="embedding", id_col="vec_id", refine_planes=0,
+    )
+    new = similarity._guarded_sig_rows(e, 40)
+    rows = new.collect()
+    assert rows
+    for r in rows:
+        assert r["sub"] == 0
+        assert r["_sn"] == r["_bn"]
+
+
+# --------------------- VERDICT r6 #4: no full count in ivf_topk build
+
+def test_ivf_small_corpus_trains_without_full_count(spark, monkeypatch):
+    """On a corpus under IVF_TRAIN_MAX_ROWS the builder must fit on the
+    FULL corpus (sample_fraction=None), deciding that from the bounded
+    limit-probe — behavior identical to the old full-count version."""
+    seen = {}
+    orig = similarity.kmeans_centroids
+
+    def spy(corpus, n_centroids=16, vec_col="embedding", seed=7,
+            sample_fraction=None):
+        seen["frac"] = sample_fraction
+        return orig(corpus, n_centroids, vec_col, seed, sample_fraction)
+
+    monkeypatch.setattr(similarity, "kmeans_centroids", spy)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 4)
+    out = similarity.ivf_topk(emb, q, k=1, n_centroids=4)
+    assert out.count() > 0
+    assert seen["frac"] is None
+
+
+# ----------------------------- fused pass Arrow-batch layout edge cases
+
+def test_fused_arrow_null_struct_layout(spark):
+    """'s' and 'e' rows carry NULL arg structs, 't' rows carry NULL
+    entity fields — the columnar batch builder must produce real nulls
+    (not empty structs) for every kind."""
+    from docopenie_spark.operators import assembly
+    from docopenie_spark.plans.pipeline import default_dictionaries
+
+    t = datagen.transcripts_df(spark, 200)
+    fn, gz, ln = default_dictionaries()
+    ann = fused.parse_extract_annotate(
+        assembly.with_turn_offsets(t), fn, gz, ln,
+        emit_sentence_text=True,
+    ).collect()
+    kinds = {r.row_kind for r in ann}
+    assert kinds == {"s", "t", "e"}
+    for r in ann:
+        if r.row_kind == "t":
+            assert r.arg1 is not None and r.rel is not None and r.arg2 is not None
+            assert r.e_text is None and r.e_offset is None
+        else:
+            assert r.arg1 is None and r.rel is None and r.arg2 is None
+        if r.row_kind == "s":
+            assert r.e_text is not None and r.e_len == len(r.e_text)
+        if r.row_kind == "e":
+            assert r.e_text is not None and r.e_name is not None
