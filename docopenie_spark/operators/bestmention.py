@@ -695,26 +695,20 @@ def best_mentions(entities: DataFrame, doc_chunks: DataFrame,
         f"cast(struct(text, offset, name, entity_type) as {ref_ddl}) as target"
     )
 
-    independent = joined.where("NOT coalesce(dep, false)").selectExpr(
-        "conv_id",
-        "coalesce(kind, 'identity') as kind",
-        target,
-        "coalesce(best_mention, name) as best_mention",
-        f"cast(best_entity as {ref_ddl}) as best_entity",
-        f"cast(container_entity as {ref_ddl}) as container_entity",
-        f"cast(contained_entity as {ref_ddl}) as contained_entity",
-        "coalesce(candidate_count, 1.0D) as candidate_count",
-        "cast(null as int) as cluster_id",
-    )
-
-    # second pass — per-occurrence proximity for multi-candidate names.
-    # inner pick per element is bound ONCE in a nested struct (Catalyst
-    # does not CSE inside lambda bodies), and the outer array_min orders
-    # lexicographically on ((distance, occurrence), display, entity) —
-    # exactly _pick's tie order. (SQL strings since round 7 — this
-    # subtree alone was ~40 py4j round trips per construction.)
-    dep = joined.where("coalesce(dep, false)")
-
+    # ONE projection for both the independent and the dep (per-occurrence
+    # proximity) paths, branching per column on the dep flag — the
+    # round-6 version split `joined` into two filtered branches and
+    # unioned them, which executed the rule-engine cogroup once PER
+    # BRANCH (measured r7: the whole Python cogroup ran 2-3× per
+    # materialization; merging the branches runs it once, 6.1s → ~2.5s
+    # at sf0.1). Row multiset is identical — every row satisfies exactly
+    # one branch — only the union's concatenation order is gone, which
+    # was never part of the contract.
+    #
+    # dep path: the inner pick per element is bound ONCE in a nested
+    # struct (Catalyst does not CSE inside lambda bodies), and the outer
+    # array_min orders lexicographically on ((distance, occurrence),
+    # display, entity) — exactly _pick's tie order.
     best = (
         "array_min(transform(matches, m -> struct("
         " array_min(transform(m.offs,"
@@ -729,22 +723,31 @@ def best_mentions(entities: DataFrame, doc_chunks: DataFrame,
         f"cast(struct(({best}).ent as text, ({best}).pick.occ as offset,"
         f" ({best}).ent as name, 'LOCATION' as entity_type) as {ref_ddl})"
     )
-    dep_rows = dep.selectExpr(
+    dep_f = "coalesce(dep, false)"
+    return joined.selectExpr(
         "conv_id",
-        "kind",
+        # dep rows always carry a non-null kind, so the coalesce is the
+        # identity on them — one expression serves both paths
+        "coalesce(kind, 'identity') as kind",
         target,
-        f"({best}).disp as best_mention",
-        f"CASE WHEN kind = 'full' THEN {picked_full} END as best_entity",
-        f"CASE WHEN NOT (kind = 'full') THEN {picked_container} END"
-        " as container_entity",
-        f"cast(null as {ref_ddl}) as contained_entity",
-        # 1/|distinct DISPLAYS| — entries are per (display, candidate), so
-        # two candidates renaming to one display count once (≡ _pick)
-        "1.0D / size(array_distinct(transform(matches, m -> m.disp)))"
-        " as candidate_count",
+        f"CASE WHEN {dep_f} THEN ({best}).disp"
+        " ELSE coalesce(best_mention, name) END as best_mention",
+        f"CASE WHEN {dep_f}"
+        f" THEN (CASE WHEN kind = 'full' THEN {picked_full} END)"
+        f" ELSE cast(best_entity as {ref_ddl}) END as best_entity",
+        f"CASE WHEN {dep_f}"
+        f" THEN (CASE WHEN NOT (kind = 'full') THEN {picked_container} END)"
+        f" ELSE cast(container_entity as {ref_ddl}) END as container_entity",
+        f"CASE WHEN NOT {dep_f}"
+        f" THEN cast(contained_entity as {ref_ddl}) END as contained_entity",
+        # dep: 1/|distinct DISPLAYS| — entries are per (display,
+        # candidate), so two candidates renaming to one display count
+        # once (≡ _pick)
+        f"CASE WHEN {dep_f}"
+        " THEN 1.0D / size(array_distinct(transform(matches, m -> m.disp)))"
+        " ELSE coalesce(candidate_count, 1.0D) END as candidate_count",
         "cast(null as int) as cluster_id",
     )
-    return independent.unionByName(dep_rows)
 
 
 def display_filter(bems: DataFrame) -> DataFrame:
@@ -894,4 +897,10 @@ def expand_with_coref(bems: DataFrame, clusters: DataFrame,
             "cluster_id",
         )
     )
-    return bems.unionByName(new_rows)
+    # new_rows FIRST (round 7, measured): with ``bems`` as the union's
+    # left child, Spark 4.1's plan deduplication re-IDs the persisted
+    # subtree in a way that misses the InMemoryRelation and re-runs the
+    # whole rule-engine pipeline (9.5s -> 1.6s at sf0.1 by flipping;
+    # exact multiset parity pinned by test). Row order is not part of
+    # this operator's contract.
+    return new_rows.unionByName(bems)

@@ -191,6 +191,17 @@ def bem_features(bems: DataFrame, clusters: DataFrame,
 
 # ------------------------------------------------------------------ U2
 
+# single-partition training bound: under this many rows the LBFGS
+# iterations' treeAggregate jobs are pure task-dispatch latency (50
+# iterations × per-task overhead), so the training set collapses to ONE
+# partition first — measured r7 at the driver's corpus (15,311 rows,
+# local[8]): fit wall 8.0s → 4.6s, max coefficient delta 6.7e-13 (float
+# summation order only; every confidence identical at the 4-decimal
+# output precision, predictions margin-saturated by design). Inputs the
+# bounded probe proves larger keep their partitioning.
+TRAIN_COALESCE_MAX = 100_000
+
+
 def train_classifier(labeled: DataFrame, label_col: str = "label", seed: int = 7):
     """LogisticRegression over the 13-feature vector (U2; the reference
     trains Breeze LR, BestMentionClassifier.scala:16-17). Returns a fitted
@@ -199,6 +210,11 @@ def train_classifier(labeled: DataFrame, label_col: str = "label", seed: int = 7
     from pyspark.ml.classification import LogisticRegression
     from pyspark.ml.feature import VectorAssembler
 
+    if labeled.limit(TRAIN_COALESCE_MAX + 1).count() <= TRAIN_COALESCE_MAX:
+        # coalesce, not repartition: narrow, deterministic partition-
+        # index concatenation keeps the training row order (hence the
+        # fitted weights) reproducible across runs
+        labeled = labeled.coalesce(1)
     asm = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features")
     lr = LogisticRegression(
         featuresCol="features", labelCol=label_col, predictionCol="prediction",

@@ -124,6 +124,33 @@ def test_ivf_small_corpus_trains_without_full_count(spark, monkeypatch):
     assert seen["frac"] is None
 
 
+# ---------------- best_mentions: rule-engine cogroup must appear ONCE
+
+def test_best_mentions_single_cogroup(spark):
+    """The one-pass projection (round 7) must leave exactly one
+    FlatMapCoGroupsInPandas node in the plan — the round-6 two-branch
+    union executed the Python rule engine once per branch."""
+    from docopenie_spark.operators import assembly, bestmention, fused, ner
+    from docopenie_spark.plans.pipeline import default_dictionaries
+
+    t = datagen.transcripts_df(spark, 200)
+    fn, gz, ln = default_dictionaries()
+    gaz_rows = datagen.gazetteer_rows()
+    ann = fused.parse_extract_annotate(
+        assembly.with_turn_offsets(t), fn, gz | {r[0] for r in gaz_rows}, ln,
+        emit_sentence_text=True,
+    )
+    ents, _ = ner.split_mentions(fused.split_entities(ann))
+    bems = bestmention.best_mentions(ents, assembly.doc_chunks(t), gaz_rows)
+    # count in the numbered operator TREE (the first block) — the
+    # formatted details section repeats every node name once more
+    tree = _formatted_plan(bems).split("\n\n")[0]
+    assert tree.count("FlatMapCoGroupsInPandas") == 1
+    # and the merged projection still emits both path families
+    kinds = {r.kind for r in bems.collect()}
+    assert "identity" in kinds
+
+
 # ----------------------------- fused pass Arrow-batch layout edge cases
 
 def test_fused_arrow_null_struct_layout(spark):
