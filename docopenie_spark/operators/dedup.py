@@ -192,7 +192,17 @@ def simhash_near_dups(sims: DataFrame, max_hamming: int = 3, bands: int | None =
     """Candidate pairs via banded chunk equality, verified by exact
     popcount. Pigeonhole: with B bands, any pair with hamming < B shares
     at least one identical band — so bands defaults to max_hamming + 1
-    (rounded to a divisor of 64) for guaranteed recall."""
+    (rounded to a divisor of 64) for guaranteed recall.
+
+    ``sims`` is persisted here unless the caller already chose a level
+    (the minhash_dedup pattern): the banded self-join reads the
+    signature table on BOTH sides, and without a persist the 64-sum
+    signature aggregation executes once per side (measured r7 at sf0.1:
+    2.2s → 1.5s noop wall with the persist)."""
+    from pyspark import StorageLevel
+
+    if sims.storageLevel == StorageLevel.NONE:
+        sims = sims.persist(StorageLevel.MEMORY_AND_DISK)
     if bands is None:
         bands = next(b for b in (4, 8, 16, 32) if b > max_hamming)
     assert 64 % bands == 0
