@@ -653,7 +653,8 @@ def _q_kg_coref(spark, sf_dir):
     turns = assembly.with_turn_offsets(t)
     firsts, gaz, lasts = default_dictionaries()
     gaz |= {r[0] for r in datagen.gazetteer_rows()}
-    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    # persisted (r7): three readers, one Python pass (see _q_kg_linking)
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts).persist()
     cl = coref.clusters(fused.split_entities(ann))
     return cl.select(
         "conv_id", "cluster_id",
@@ -778,7 +779,8 @@ def _q_kg_extraction(spark, sf_dir):
     t = derived_from_documents(_docs(spark, sf_dir))
     turns = assembly.with_turn_offsets(t)
     firsts, gaz, lasts = default_dictionaries()
-    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    # persisted (r7): three readers, one Python pass (see _q_kg_linking)
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts).persist()
     tr = fused.split_triples(ann)
     return tr.select(
         "conv_id", "turn_idx", "sent_num",
@@ -890,7 +892,10 @@ def _q_kg_linking(spark, sf_dir):
     turns = assembly.with_turn_offsets(t)
     firsts, gaz, lasts = default_dictionaries()
     gaz |= {r[0] for r in datagen.gazetteer_rows()}
-    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    # persisted (r7): split_triples / split_entities / split_sentences all
+    # read this table — without the persist the fused Arrow pass executed
+    # three times per materialization
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts).persist()
     lk = link.links(
         fused.split_triples(ann),
         datagen.entity_dict_df(spark),
@@ -993,7 +998,8 @@ def _q_kg_substitution(spark, sf_dir):
     turns = assembly.with_turn_offsets(t)
     firsts, gaz, lasts = default_dictionaries()
     gaz |= {r[0] for r in datagen.gazetteer_rows()}
-    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    # persisted (r7): three readers, one Python pass (see _q_kg_linking)
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts).persist()
     tr = fused.split_triples(ann)
     lk = link.links(
         tr, datagen.entity_dict_df(spark),
@@ -1076,7 +1082,8 @@ def _q_kg_coref_expansion(spark, sf_dir):
     turns = assembly.with_turn_offsets(t)
     firsts, gaz, lasts = default_dictionaries()
     gaz |= {r[0] for r in datagen.gazetteer_rows()}
-    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    # persisted (r7): three readers, one Python pass (see _q_kg_linking)
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts).persist()
     cl = coref.clusters(fused.split_entities(ann))
     lk = link.links(
         fused.split_triples(ann), datagen.entity_dict_df(spark),
@@ -1371,7 +1378,9 @@ def _q_kg_bem_features(spark, sf_dir):
     turns = assembly.with_turn_offsets(t)
     firsts, gaz, lasts = default_dictionaries()
     gaz |= {r[0] for r in datagen.gazetteer_rows()}
-    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    # persisted (r7): the mentions view feeds both the rule engine and
+    # the coref clusters — two fused-pass executions without it
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts).persist()
     mentions = fused.split_entities(ann)
     ents, _prons = ner.split_mentions(mentions)
     bems = bestmention.best_mentions(
@@ -1529,7 +1538,8 @@ def _q_kg_relnoun(spark, sf_dir):
     t = derived_from_documents(docs.withColumn("text", c))
     turns = assembly.with_turn_offsets(t)
     firsts, gaz, lasts = default_dictionaries()
-    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts)
+    # persisted (r7): three readers, one Python pass (see _q_kg_linking)
+    ann = fused.parse_extract_annotate(turns, firsts, gaz, lasts).persist()
     tr = fused.split_triples(ann).where(F.col("extractor") == "relnoun")
     return tr.select(
         "conv_id", "turn_idx", "sent_num",
@@ -1633,7 +1643,11 @@ def _q_kg_end_to_end(spark, sf_dir):
     for pat, rep in _E2E_INJECT:
         c = F.regexp_replace(c, pat, rep)
     t = derived_from_documents(docs.withColumn("text", c))
-    r = run_pipeline(spark, t, cache=False)
+    # cache=True (r7): with cache=False the fused Arrow pass re-executed
+    # once per fan-out reference inside the triples DAG; the persisted
+    # fan-out points compute it once (same leak profile as the other
+    # run_pipeline-based queries in this file)
+    r = run_pipeline(spark, t)
     return r.triples.select(
         "conv_id", "turn_idx", "sent_num", "subj", "pred", "obj",
         "subj_raw", "obj_raw", "confidence", "extractor",
