@@ -69,33 +69,35 @@ def with_bem_index(bems: DataFrame) -> DataFrame:
     stable; a row_number over a partial key would tie-break by partition
     order) — a labeled training TSV keyed on doc_bem_index must align
     when joined back against regenerated features."""
-    w = Window.partitionBy("conv_id").orderBy(
-        F.col("target.offset"), "kind", "best_mention",
-        F.col("target.text"), F.col("target.entity_type"),
-        "candidate_count", F.col("best_entity.offset"),
-        F.col("container_entity.offset"), F.col("contained_entity.offset"),
+    return bems.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY conv_id ORDER BY"
+        " target.offset ASC, kind ASC, best_mention ASC, target.text ASC,"
+        " target.entity_type ASC, candidate_count ASC, best_entity.offset"
+        " ASC, container_entity.offset ASC, contained_entity.offset ASC)"
+        " - 1 as bem_index",
     )
-    return bems.withColumn("bem_index", F.row_number().over(w) - 1)
 
 
-def _span_clusters(spans: DataFrame, clusters: DataFrame, off_col, len_col, out: str) -> DataFrame:
+def _span_clusters(spans: DataFrame, clusters: DataFrame, off: str, ln: str,
+                   out: str) -> DataFrame:
     """(conv_id, bem_index, <out>=set of cluster ids whose mentions fall
     inside the span) — the mentionsBetween → cluster lookup as a bucketed
-    containment join (BestMentionFeatures.scala:68-72)."""
-    cm = clusters.select(
-        "conv_id", "cluster_id", F.explode("mentions").alias("m")
-    ).select(
-        "conv_id", "cluster_id",
-        F.col("m.offset").alias("m_off"), F.length("m.text").alias("m_len"),
-    ).withColumn("_b", (F.col("m_off") / _B).cast("long"))
-    sp = spans.withColumn(
-        "_b",
-        F.explode(
-            F.sequence((off_col / _B).cast("long"), ((off_col + len_col) / _B).cast("long"))
-        ),
+    containment join (BestMentionFeatures.scala:68-72). ``off``/``ln``
+    are SQL expression strings (round-7 construction-cost rewrite)."""
+    cm = clusters.selectExpr(
+        "conv_id", "cluster_id", "explode(mentions) as m"
+    ).selectExpr(
+        "conv_id", "cluster_id", "m.offset as m_off",
+        "length(m.text) as m_len", f"cast(m.offset / {_B} as bigint) as _b",
+    )
+    sp = spans.selectExpr(
+        "*",
+        f"explode(sequence(cast(({off}) / {_B} as bigint),"
+        f" cast((({off}) + ({ln})) / {_B} as bigint))) as _b",
     )
     j = sp.join(cm, ["conv_id", "_b"]).where(
-        (F.col("m_off") >= off_col) & (F.col("m_off") + F.col("m_len") <= off_col + len_col)
+        f"m_off >= ({off}) AND m_off + m_len <= ({off}) + ({ln})"
     )
     return j.groupBy("conv_id", "bem_index").agg(
         F.collect_set("cluster_id").alias(out)
@@ -111,17 +113,15 @@ def bem_features(bems: DataFrame, clusters: DataFrame,
     gaz = Gazetteer(gazetteer_rows)
     b = with_bem_index(bems)
 
-    typ = F.col("target.entity_type")
-    kind = F.col("kind")
-    is_container = F.col("container_entity").isNotNull()
-    t_lc = F.lower(F.col("target.text"))
-    c_lc = F.lower(F.col("container_entity.text"))
-
-    def _in(col, names: set[str]):
+    # feature expressions as SQL strings (round 7): this constructor sat
+    # in the three heaviest declared queries and cost ~1.4 s of driver
+    # py4j time per build as Column trees
+    def _in(expr: str, names: set[str]) -> str:
         if not names:
-            return F.lit(False)
-        return col.isin(*sorted(names))
+            return "false"
+        return f"({expr} IN (%s))" % ", ".join(f"'{n}'" for n in sorted(names))
 
+    t_lc, c_lc = "lower(target.text)", "lower(container_entity.text)"
     city_t, state_t, country_t = (
         _in(t_lc, gaz.cities), _in(t_lc, gaz.states), _in(t_lc, gaz.countries)
     )
@@ -129,59 +129,57 @@ def bem_features(bems: DataFrame, clusters: DataFrame,
         _in(c_lc, gaz.cities), _in(c_lc, gaz.states), _in(c_lc, gaz.countries)
     )
     total_count = (
-        city_t.cast("double") + state_t.cast("double") + country_t.cast("double")
+        f"(cast({city_t} as double) + cast({state_t} as double)"
+        f" + cast({country_t} as double))"
     )
     loc_sim = (
-        (city_t & city_c).cast("double")
-        + (state_t & state_c).cast("double")
-        + (country_t & country_c).cast("double")
+        f"(cast({city_t} AND {city_c} as double)"
+        f" + cast({state_t} AND {state_c} as double)"
+        f" + cast({country_t} AND {country_c} as double))"
     )
+    cont = "container_entity IS NOT NULL"
 
-    feats = b.select(
+    feats = b.selectExpr(
         "*",
-        (typ == "ORGANIZATION").cast("double").alias("f_is_organization_rule"),
-        (typ == "LOCATION").cast("double").alias("f_is_location_rule"),
-        (typ == "PERSON").cast("double").alias("f_is_person_rule"),
-        (typ == "OTHER").cast("double").alias("f_is_other_rule"),
-        kind.startswith("coref").cast("double").alias("f_is_coref"),
-        (kind == "coref_link").cast("double").alias("f_is_linked"),
-        (kind == "coref_identity").cast("double").alias("f_is_coref_identity"),
-        F.col("candidate_count").alias("f_ambiguous_candidate_count"),
-        F.when(is_container, total_count).otherwise(F.lit(0.0))
-        .alias("f_location_ambiguity_count"),
-        F.when(is_container, (city_t & state_c).cast("double")).otherwise(F.lit(0.0))
-        .alias("f_state_contains_city"),
-        F.when(is_container, (city_t & country_c).cast("double")).otherwise(F.lit(0.0))
-        .alias("f_country_contains_city"),
-        F.when(is_container, loc_sim).otherwise(F.lit(0.0))
-        .alias("f_loc_type_similarity"),
+        "cast(target.entity_type = 'ORGANIZATION' as double)"
+        " as f_is_organization_rule",
+        "cast(target.entity_type = 'LOCATION' as double) as f_is_location_rule",
+        "cast(target.entity_type = 'PERSON' as double) as f_is_person_rule",
+        "cast(target.entity_type = 'OTHER' as double) as f_is_other_rule",
+        "cast(startswith(kind, 'coref') as double) as f_is_coref",
+        "cast(kind = 'coref_link' as double) as f_is_linked",
+        "cast(kind = 'coref_identity' as double) as f_is_coref_identity",
+        "candidate_count as f_ambiguous_candidate_count",
+        f"CASE WHEN {cont} THEN {total_count} ELSE 0.0D END"
+        " as f_location_ambiguity_count",
+        f"CASE WHEN {cont} THEN cast({city_t} AND {state_c} as double)"
+        " ELSE 0.0D END as f_state_contains_city",
+        f"CASE WHEN {cont} THEN cast({city_t} AND {country_c} as double)"
+        " ELSE 0.0D END as f_country_contains_city",
+        f"CASE WHEN {cont} THEN {loc_sim} ELSE 0.0D END"
+        " as f_loc_type_similarity",
     )
 
     # Coref Cluster Agrees (ref :66-82): clusters touching the target span
     # vs clusters touching the best-entity span; only FullResolvedBestMention
-    full = feats.where(F.col("best_entity").isNotNull()).select(
+    full = feats.where("best_entity IS NOT NULL").selectExpr(
         "conv_id", "bem_index",
-        F.col("target.offset").alias("t_off"), F.length("target.text").alias("t_len"),
-        F.col("best_entity.offset").alias("e_off"),
-        F.length("best_entity.text").alias("e_len"),
+        "target.offset as t_off", "length(target.text) as t_len",
+        "best_entity.offset as e_off", "length(best_entity.text) as e_len",
     )
-    tc = _span_clusters(full, clusters, F.col("t_off"), F.col("t_len"), "t_clusters")
-    bc = _span_clusters(full, clusters, F.col("e_off"), F.col("e_len"), "b_clusters")
+    tc = _span_clusters(full, clusters, "t_off", "t_len", "t_clusters")
+    bc = _span_clusters(full, clusters, "e_off", "e_len", "b_clusters")
     agree_src = (
         full.select("conv_id", "bem_index")
         .join(tc, ["conv_id", "bem_index"], "left")
         .join(bc, ["conv_id", "bem_index"], "left")
     )
-    agree = F.when(
-        F.size(F.array_intersect(
-            F.coalesce("t_clusters", F.array()), F.coalesce("b_clusters", F.array())
-        )) > 0,
-        F.lit(1.0),
-    ).when(
-        F.size(F.coalesce("b_clusters", F.array())) > 0, F.lit(-1.0)
-    ).otherwise(F.lit(0.0))
-    agree_df = agree_src.select(
-        "conv_id", "bem_index", agree.alias("f_coref_cluster_agrees")
+    agree_df = agree_src.selectExpr(
+        "conv_id", "bem_index",
+        "CASE WHEN size(array_intersect(coalesce(t_clusters, array()),"
+        " coalesce(b_clusters, array()))) > 0 THEN 1.0D"
+        " WHEN size(coalesce(b_clusters, array())) > 0 THEN -1.0D"
+        " ELSE 0.0D END as f_coref_cluster_agrees",
     )
     out = feats.join(agree_df, ["conv_id", "bem_index"], "left").withColumn(
         "f_coref_cluster_agrees", F.coalesce("f_coref_cluster_agrees", F.lit(0.0))
