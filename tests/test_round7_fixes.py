@@ -178,3 +178,56 @@ def test_fused_arrow_null_struct_layout(spark):
             assert r.e_text is not None and r.e_len == len(r.e_text)
         if r.row_kind == "e":
             assert r.e_text is not None and r.e_name is not None
+
+
+# --------------------------------------------- run_pipeline plan cache
+
+def test_plan_cache_hit_reuses_plans_and_repersists(spark):
+    """Two semantically identical invocations return the SAME lazy DAG
+    (plan reuse — never data: the fan-out persists re-register empty
+    after an unpersist, so every action recomputes from the inputs)."""
+    from pyspark import StorageLevel
+
+    from docopenie_spark.plans import pipeline as pl
+
+    t1 = datagen.transcripts_df(spark, 160)
+    r1 = pl.run_pipeline(spark, t1)
+    n1 = r1.triples.count()
+    r1.unpersist()
+    assert all(df.storageLevel == StorageLevel.NONE
+               for df in r1.extras["persisted"])
+
+    # a FRESH DataFrame object with the same semantics must hit
+    t2 = datagen.transcripts_df(spark, 160)
+    assert t2 is not t1
+    r2 = pl.run_pipeline(spark, t2)
+    assert r2 is r1
+    # the hit re-applied every persist registration
+    assert all(df.storageLevel != StorageLevel.NONE
+               for df in r2.extras["persisted"])
+    # and the recomputation from inputs yields the same result
+    assert r2.triples.count() == n1
+    r2.unpersist()
+
+
+def test_plan_cache_misses_on_different_input_or_args(spark):
+    from docopenie_spark.plans import pipeline as pl
+
+    t = datagen.transcripts_df(spark, 160)
+    r_full = pl.run_pipeline(spark, t)
+    assert pl.run_pipeline(spark, datagen.transcripts_df(spark, 168)) is not r_full
+    assert pl.run_pipeline(spark, t, with_coref_expansion=False) is not r_full
+    for r in (r_full,):
+        r.unpersist()
+
+
+def test_plan_cache_kill_switch(spark, monkeypatch):
+    from docopenie_spark.plans import pipeline as pl
+
+    t = datagen.transcripts_df(spark, 176)
+    r1 = pl.run_pipeline(spark, t)
+    monkeypatch.setenv("SPARK_GRAFT_PLAN_CACHE", "0")
+    r2 = pl.run_pipeline(spark, t)
+    assert r2 is not r1
+    r1.unpersist()
+    r2.unpersist()
