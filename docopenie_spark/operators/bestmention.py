@@ -75,6 +75,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import schemas
+from ..session import content_broadcast
 from .ner import PRONOUNS
 
 # the reference's EXACT personal-pronoun set (DocumentExtractor.scala:140);
@@ -585,7 +586,10 @@ def best_mentions_python(entities: DataFrame, docs: DataFrame,
     reference): every entity occurrence flows through Python. Kept for
     the parity tests (join-based and chunked paths must match it)."""
     spark = entities.sparkSession
-    b_gaz = spark.sparkContext.broadcast(Gazetteer(gazetteer_rows))
+    b_gaz = content_broadcast(
+        spark.sparkContext, Gazetteer(gazetteer_rows),
+        key=tuple(tuple(r) for r in gazetteer_rows),
+    )
 
     def run(ents: pd.DataFrame, dpdf: pd.DataFrame) -> pd.DataFrame:
         if ents.empty or dpdf.empty:
@@ -632,7 +636,10 @@ def best_mentions(entities: DataFrame, doc_chunks: DataFrame,
     (distance, occurrence, display, entity) per occurrence. No explode,
     no Python, no self-join."""
     spark = entities.sparkSession
-    b_gaz = spark.sparkContext.broadcast(Gazetteer(gazetteer_rows))
+    b_gaz = content_broadcast(
+        spark.sparkContext, Gazetteer(gazetteer_rows),
+        key=tuple(tuple(r) for r in gazetteer_rows),
+    )
 
     distinct = entities.groupBy("conv_id", "entity_type", "name").agg(
         F.sort_array(F.collect_list("offset")).alias("offs"),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from .. import schemas
 from ..functions import textnorm
+from ..session import content_broadcast
 from .extract import extract_sentence
 from .ner import sentence_entities
 from .segment import segment_turn
@@ -158,9 +159,9 @@ def parse_extract_annotate(
     ``emit_sentence_text=True`` restores inline text for callers without
     the turn table at hand."""
     sc = turns_with_offsets.sparkSession.sparkContext
-    b_first = sc.broadcast(frozenset(first_names))
-    b_gaz = sc.broadcast(frozenset(gazetteer_names))
-    b_last = sc.broadcast(frozenset(last_names or ()))
+    b_first = content_broadcast(sc, frozenset(first_names))
+    b_gaz = content_broadcast(sc, frozenset(gazetteer_names))
+    b_last = content_broadcast(sc, frozenset(last_names or ()))
 
     src = turns_with_offsets.select(
         "conv_id",
@@ -301,9 +302,9 @@ def extract_and_annotate(
     :func:`split_triples` / :func:`split_entities` are JVM-side filters
     over the persisted combined table."""
     sc = parsed.sparkSession.sparkContext
-    b_first = sc.broadcast(frozenset(first_names))
-    b_gaz = sc.broadcast(frozenset(gazetteer_names))
-    b_last = sc.broadcast(frozenset(last_names or ()))
+    b_first = content_broadcast(sc, frozenset(first_names))
+    b_gaz = content_broadcast(sc, frozenset(gazetteer_names))
+    b_last = content_broadcast(sc, frozenset(last_names or ()))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         firsts, gaz, lasts = b_first.value, b_gaz.value, b_last.value

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .. import schemas
+from ..session import content_broadcast
 from .tokenize import POS, START, TOK
 
 ORG_SUFFIXES = {
@@ -117,9 +118,9 @@ def entities(
     models → broadcast variables').
     """
     sc = parsed.sparkSession.sparkContext
-    b_first = sc.broadcast(frozenset(first_names))
-    b_gaz = sc.broadcast(frozenset(gazetteer_names))
-    b_last = sc.broadcast(frozenset(last_names or ()))
+    b_first = content_broadcast(sc, frozenset(first_names))
+    b_gaz = content_broadcast(sc, frozenset(gazetteer_names))
+    b_last = content_broadcast(sc, frozenset(last_names or ()))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         firsts, gaz, lasts = b_first.value, b_gaz.value, b_last.value

@@ -92,7 +92,7 @@ COREF_MENTIONS_PER_TURN_BOUND = 16
 # no false positives; the hash-free linear scan is fine at this size).
 # Kill-switch: SPARK_GRAFT_PLAN_CACHE=0.
 _PLAN_CACHE: list[tuple] = []
-_PLAN_CACHE_MAX = 8
+_PLAN_CACHE_MAX = 16  # annotate() entries share the list with run_pipeline's
 
 
 def _plan_cache_enabled() -> bool:
@@ -172,8 +172,27 @@ def annotate(
     differential evaluation runs base and comp over identical annotated
     output; only linking/expansion differ). ``slim_sentences`` defaults
     to the same size-adaptive decision run_pipeline makes over the same
-    input, so the shared table always matches the downstream path."""
+    input, so the shared table always matches the downstream path.
+
+    Plan-cached like :func:`run_pipeline` (lazy plan only, never rows):
+    a semantically identical invocation returns the SAME DataFrame, so
+    downstream plan-cache keys short-circuit on object identity and the
+    eager ``_input_stats`` sizing job is not re-run. A hit whose persist
+    was dropped by a caller's unpersist() re-registers EMPTY."""
     from pyspark import StorageLevel
+
+    _ck_scalars = (
+        "annotate", fabricate_metadata, cache, storage_level,
+        slim_sentences,
+        None if gazetteer_rows is None
+        else tuple(tuple(r) for r in gazetteer_rows),
+    )
+    if _plan_cache_enabled():
+        _hit = _plan_cache_get(spark, (transcripts,), _ck_scalars)
+        if _hit is not None:
+            if cache and _hit.storageLevel == StorageLevel.NONE:
+                _hit.persist(getattr(StorageLevel, storage_level))
+            return _hit
 
     gaz_rows = gazetteer_rows if gazetteer_rows is not None else datagen.gazetteer_rows()
     first_names, gaz_names, last_names = default_dictionaries()
@@ -200,6 +219,8 @@ def annotate(
     if cache:
         out = out.persist(getattr(StorageLevel, storage_level))
     out._docopenie_slim = slim
+    if _plan_cache_enabled():
+        _plan_cache_put(spark, (transcripts,), _ck_scalars, out)
     return out
 
 

@@ -16,10 +16,43 @@ Local testing runs on ``local[N]`` but every knob here is chosen for the
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import SparkSession
 
 ARROW_BATCH = 10_000  # rows per Arrow batch handed to pandas UDFs
+
+# ------------------------------------------------------- shared broadcasts
+#
+# A Broadcast pickles into a UDF closure BY ID, so two otherwise
+# identical Python-stage plans built from separate ``sc.broadcast``
+# calls carry different command bytes and never compare semantically
+# equal (Dataset.sameSemantics, CacheManager's canonical-plan lookup) —
+# measured r7: every fresh ``annotate()``/``parse_extract_annotate``
+# subtree missed both the run_pipeline plan cache and an already-
+# registered persist of the identical pass. Returning the SAME Broadcast
+# for identical dictionary content restores plan equality. This shares
+# static config data (name dictionaries), never computed results.
+_BCAST_BY_CONTENT: dict = {}
+_BCAST_LOCK = threading.Lock()
+
+
+def content_broadcast(sc, value, key=None):
+    """Broadcast ``value``, reusing the same Broadcast object for an
+    identical (SparkContext, content) pair. ``key`` defaults to ``value``
+    and must be hashable; pass an explicit key for unhashable values."""
+    k = (sc.applicationId, type(value).__name__,
+         key if key is not None else value)
+    with _BCAST_LOCK:
+        b = _BCAST_BY_CONTENT.get(k)
+        if b is None:
+            # entries from stopped contexts are dead weight — drop them
+            for dead in [kk for kk in _BCAST_BY_CONTENT
+                         if kk[0] != sc.applicationId]:
+                del _BCAST_BY_CONTENT[dead]
+            b = sc.broadcast(value)
+            _BCAST_BY_CONTENT[k] = b
+    return b
 
 
 def get_spark(
