@@ -142,8 +142,19 @@ def test_best_mentions_single_cogroup(spark):
     )
     ents, _ = ner.split_mentions(fused.split_entities(ann))
     bems = bestmention.best_mentions(ents, assembly.doc_chunks(t), gaz_rows)
-    # count in the numbered operator TREE (the first block) — the
-    # formatted details section repeats every node name once more
+    # the CONSTRUCTED shape: one logical cogroup occurrence (the round-6
+    # two-branch union referenced it twice). Asserted on the analyzed
+    # plan, which is immune to session cache state — with content-shared
+    # broadcasts (r7 item 13) a leaked cache from an earlier test can
+    # canonically match a subtree here and the substituted
+    # InMemoryRelation prints its own cached plan inside the formatted
+    # tree, double-counting node names.
+    analyzed = bems._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("FlatMapCoGroupsInPandas") == 1
+    # and the physical plan, in a cache-free session state, executes it
+    # exactly once; count in the numbered operator TREE (the first
+    # block) — the formatted details section repeats every node name
+    spark.catalog.clearCache()
     tree = _formatted_plan(bems).split("\n\n")[0]
     assert tree.count("FlatMapCoGroupsInPandas") == 1
     # and the merged projection still emits both path families
@@ -231,3 +242,73 @@ def test_plan_cache_kill_switch(spark, monkeypatch):
     assert r2 is not r1
     r1.unpersist()
     r2.unpersist()
+
+
+# ------------------------------------------------- broadcast content sharing
+#
+# r7: a fresh sc.broadcast id pickled into a UDF closure made two
+# otherwise identical Python-stage plans semantically UNEQUAL, so fresh
+# annotate()/parse_extract_annotate subtrees missed both the plan cache
+# and CacheManager's canonical lookup. content_broadcast shares the
+# Broadcast by dictionary content; these pin the equality it restores.
+
+def test_content_broadcast_identity_and_separation(spark):
+    from docopenie_spark.session import content_broadcast
+
+    sc = spark.sparkContext
+    a = content_broadcast(sc, frozenset({"x", "y"}))
+    b = content_broadcast(sc, frozenset({"y", "x"}))
+    c = content_broadcast(sc, frozenset({"x", "z"}))
+    assert a is b
+    assert a is not c
+    assert a.value == {"x", "y"} and c.value == {"x", "z"}
+    # unhashable values share via an explicit key
+    d = content_broadcast(sc, ["k"], key=("k",))
+    e = content_broadcast(sc, ["ignored"], key=("k",))
+    assert d is e and d.value == ["k"]
+
+
+def test_fused_pass_plans_semantically_equal(spark):
+    from docopenie_spark.operators import assembly, fused
+
+    t = datagen.transcripts_df(spark, 120)
+    turns = assembly.with_turn_offsets(t)
+    mk = lambda: fused.parse_extract_annotate(
+        turns, {"Ada"}, {"Springfield"}, {"Lovelace"})
+    assert mk().sameSemantics(mk())
+
+
+def test_annotate_plan_cache_hit_and_repersist(spark):
+    from pyspark import StorageLevel
+    from docopenie_spark.plans import pipeline as pl
+
+    t = datagen.transcripts_df(spark, 184)
+    a1 = pl.annotate(spark, t)
+    n1 = a1.count()
+    a1.unpersist()
+    a2 = pl.annotate(spark, t)
+    assert a2 is a1  # identical invocation returns the same lazy plan
+    # the hit re-registered the dropped persist (empty — recomputes)
+    assert a2.storageLevel != StorageLevel.NONE
+    assert a2.count() == n1
+    # a different input or scalar misses
+    assert pl.annotate(spark, datagen.transcripts_df(spark, 192)) is not a1
+    assert pl.annotate(spark, t, fabricate_metadata=True) is not a1
+    a2.unpersist()
+
+
+def test_eval_diff_pipelines_hit_plan_cache_with_fresh_annotate(spark):
+    from docopenie_spark.plans import pipeline as pl
+
+    t = datagen.transcripts_df(spark, 200)
+    a1 = pl.annotate(spark, t)
+    r1 = pl.run_pipeline(spark, t, with_linking=False,
+                         with_coref_expansion=False, annotated=a1)
+    # a SECOND, freshly constructed annotate over the same input is the
+    # same object (annotate cache), so the run_pipeline key short-circuits
+    a2 = pl.annotate(spark, t)
+    r2 = pl.run_pipeline(spark, t, with_linking=False,
+                         with_coref_expansion=False, annotated=a2)
+    assert r2 is r1
+    r1.unpersist()
+    a1.unpersist()
